@@ -1,0 +1,245 @@
+"""The smallhardface detector: VGG-16 backbone + FPN-lite fusion + detection
+heads, as a pure-functional JAX model (NHWC).
+
+Graph parity with the reference prototxt templates
+(/root/reference/models/test_different_dilation_template.prototxt,
+ test_template.prototxt) after the programmatic surgery applied by
+/root/reference/lib/prototxt/manipulate.py:154-188 (dim-reduction insert and
+backbone/head lr multipliers).
+
+The "model-graph generation" layer of the reference (prototxt templates +
+protobuf surgery, SURVEY.md L5) becomes `ModelSpec`/`build_spec`: a small
+declarative description from which the forward pass, the parameter shapes,
+and the per-parameter lr/decay multipliers are generated.
+
+The three dilated heads share one weight/bias pair *structurally*: the same
+param leaf is used for all three convs (the reference used Caffe named-param
+sharing, net.cpp:421).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smallhardface_tpu.models.layers import (
+    conv2d, max_pool_2x2, bilinear_kernel, upsample2x_bilinear)
+
+# (name, out_channels, n_convs) per VGG stage; conv1/conv2 are frozen
+# (lr_mult 0 in the templates, models/test_template.prototxt:22-29).
+VGG_STAGES = (
+    ("conv1", 64, 2),
+    ("conv2", 128, 2),
+    ("conv3", 256, 3),
+    ("conv4", 512, 3),
+    ("conv5", 512, 3),
+)
+
+ANCHOR_SCALES = (1, 2, 4)
+HEAD_DILATIONS = (1, 2, 4)
+FEAT_STRIDE = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Declarative detector description (the prototxt-template analog)."""
+    different_dilation: bool = True
+    head_channels: int = 128
+    lateral_channels: int = 256
+    fuse_channels: int = 512
+    dim_red_channels: int = 128
+    num_classes: int = 2
+    num_anchors: int = len(ANCHOR_SCALES)
+    backbone_lr_mult: float = 2.0
+    head_lr_mult: float = 1.0
+
+
+def build_spec(cfg) -> ModelSpec:
+    """Build the spec from the global config, mirroring manipulate_train/test
+    template selection (/root/reference/lib/prototxt/manipulate.py:35-86)."""
+    return ModelSpec(
+        different_dilation=bool(cfg.MODEL.DIFFERENT_DILATION.ENABLE),
+        backbone_lr_mult=float(cfg.TRAIN.LR.BACKBONE_MULT),
+        head_lr_mult=float(cfg.TRAIN.LR.HEAD_MULT),
+    )
+
+
+def _conv_names(spec: ModelSpec):
+    names = []
+    for stage, _, n in VGG_STAGES:
+        for i in range(1, n + 1):
+            names.append(f"{stage}_{i}")
+    names += ["conv5_256", "conv4_256", "conv4_fuse_final"]
+    if spec.different_dilation:
+        names += ["conv4_fuse_final_dim_red", "head"]
+        for k in ANCHOR_SCALES:
+            names += [f"cls_score_{k}", f"bbox_pred_{k}"]
+    else:
+        names += ["head", "cls_score", "bbox_pred"]
+    return names
+
+
+def param_shapes(spec: ModelSpec):
+    """Shape tree {name: {'w': HWIO, 'b': (O,)}} for every learnable conv,
+    plus the fixed bilinear deconv kernel under 'conv5_256_up'."""
+    shapes = {}
+    in_c = 3
+    for stage, out_c, n in VGG_STAGES:
+        for i in range(1, n + 1):
+            shapes[f"{stage}_{i}"] = {"w": (3, 3, in_c, out_c), "b": (out_c,)}
+            in_c = out_c
+    lat = spec.lateral_channels
+    shapes["conv5_256"] = {"w": (1, 1, 512, lat), "b": (lat,)}
+    shapes["conv4_256"] = {"w": (1, 1, 512, lat), "b": (lat,)}
+    shapes["conv5_256_up"] = {"w": (4, 4, 1, lat)}
+    shapes["conv4_fuse_final"] = {
+        "w": (3, 3, 2 * lat, spec.fuse_channels), "b": (spec.fuse_channels,)}
+    head_in = spec.fuse_channels
+    if spec.different_dilation:
+        shapes["conv4_fuse_final_dim_red"] = {
+            "w": (3, 3, spec.fuse_channels, spec.dim_red_channels),
+            "b": (spec.dim_red_channels,)}
+        head_in = spec.dim_red_channels
+        shapes["head"] = {
+            "w": (3, 3, head_in, spec.head_channels),
+            "b": (spec.head_channels,)}
+        for k in ANCHOR_SCALES:
+            shapes[f"cls_score_{k}"] = {
+                "w": (1, 1, spec.head_channels, spec.num_classes),
+                "b": (spec.num_classes,)}
+            shapes[f"bbox_pred_{k}"] = {
+                "w": (1, 1, spec.head_channels, 4), "b": (4,)}
+    else:
+        shapes["head"] = {
+            "w": (3, 3, head_in, spec.head_channels),
+            "b": (spec.head_channels,)}
+        shapes["cls_score"] = {
+            "w": (1, 1, spec.head_channels,
+                  spec.num_anchors * spec.num_classes),
+            "b": (spec.num_anchors * spec.num_classes,)}
+        shapes["bbox_pred"] = {
+            "w": (1, 1, spec.head_channels, spec.num_anchors * 4),
+            "b": (spec.num_anchors * 4,)}
+    return shapes
+
+
+def init_params(rng, spec: ModelSpec, dtype=jnp.float32):
+    """Gaussian(0, 0.01) weights / zero biases, matching the template fillers
+    (weight_filler gaussian std 0.01, bias constant 0). The VGG stack is
+    normally overwritten by pretrained weights via io.caffemodel."""
+    shapes = param_shapes(spec)
+    params = {}
+    keys = jax.random.split(rng, len(shapes))
+    for key, (name, tree) in zip(keys, sorted(shapes.items())):
+        leaf = {}
+        if name == "conv5_256_up":
+            leaf["w"] = jnp.asarray(
+                bilinear_kernel(2, spec.lateral_channels), dtype)
+        else:
+            leaf["w"] = 0.01 * jax.random.normal(key, tree["w"], dtype)
+            leaf["b"] = jnp.zeros(tree["b"], dtype)
+        params[name] = leaf
+    return params
+
+
+def param_multipliers(spec: ModelSpec):
+    """Per-leaf (lr_mult, decay_mult) trees reproducing the template
+    ParamSpecs after `_apply_mult_lr` (manipulate.py:154-163):
+
+    - conv1/conv2: frozen (0, 0)
+    - conv3..conv5: w (1,1), b (2,1)   [decay_mult defaults to 1 in Caffe]
+    - laterals + fuse: w (1,1), b (2,1); dim_red: w (1,1), b (2,1)
+    - deconv: (0, 0)
+    - head: w (1,1), b (2,0); cls/bbox: w (1,1), b (2,0)
+    - then lr_mult ×BACKBONE_MULT for everything before the heads,
+      ×HEAD_MULT for head/cls/bbox.
+    """
+    shapes = param_shapes(spec)
+    lr, decay = {}, {}
+    head_names = {"head", "cls_score", "bbox_pred"} | {
+        f"cls_score_{k}" for k in ANCHOR_SCALES} | {
+        f"bbox_pred_{k}" for k in ANCHOR_SCALES}
+    for name, tree in shapes.items():
+        is_head = name in head_names
+        mult = spec.head_lr_mult if is_head else spec.backbone_lr_mult
+        if name.startswith(("conv1_", "conv2_")) or name == "conv5_256_up":
+            lr[name] = {k: 0.0 for k in tree}
+            decay[name] = {k: 0.0 for k in tree}
+            continue
+        w_lr, b_lr = 1.0 * mult, 2.0 * mult
+        b_decay = 0.0 if is_head else 1.0
+        lr[name] = {"w": w_lr, "b": b_lr}
+        decay[name] = {"w": 1.0, "b": b_decay}
+    return lr, decay
+
+
+def forward(params, x, spec: ModelSpec, compute_dtype=None):
+    """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
+    of 16. Returns dict with:
+      cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
+      bbox_deltas: (B, h, w, A, 4)
+    Anchor order along A matches ANCHOR_SCALES = (1, 2, 4), i.e. the row
+    order of ops.anchors.generate_anchors(scales=[1,2,4]).
+    """
+    cd = compute_dtype
+
+    def cbr(h, name, dilation=1):
+        pad = dilation  # 3x3 kernels throughout
+        return jax.nn.relu(conv2d(
+            h, params[name]["w"], params[name]["b"],
+            dilation=dilation, padding=pad, compute_dtype=cd))
+
+    h = x
+    feats = {}
+    for si, (stage, _, n) in enumerate(VGG_STAGES):
+        for i in range(1, n + 1):
+            h = cbr(h, f"{stage}_{i}")
+        feats[stage] = h
+        if si < len(VGG_STAGES) - 1:
+            h = max_pool_2x2(h)
+
+    f5 = jax.nn.relu(conv2d(
+        feats["conv5"], params["conv5_256"]["w"], params["conv5_256"]["b"],
+        padding=0, compute_dtype=cd))
+    up = upsample2x_bilinear(f5, params["conv5_256_up"]["w"])
+    f4 = jax.nn.relu(conv2d(
+        feats["conv4"], params["conv4_256"]["w"], params["conv4_256"]["b"],
+        padding=0, compute_dtype=cd))
+    fuse = jnp.concatenate([up, f4], axis=-1)
+    ff = cbr(fuse, "conv4_fuse_final")
+
+    b, hh, ww = ff.shape[0], ff.shape[1], ff.shape[2]
+    A = spec.num_anchors
+    if spec.different_dilation:
+        ff = cbr(ff, "conv4_fuse_final_dim_red")
+        cls_list, box_list = [], []
+        for k, d in zip(ANCHOR_SCALES, HEAD_DILATIONS):
+            hd = jax.nn.relu(conv2d(
+                ff, params["head"]["w"], params["head"]["b"],
+                dilation=d, padding=d, compute_dtype=cd))
+            cls_list.append(conv2d(
+                hd, params[f"cls_score_{k}"]["w"],
+                params[f"cls_score_{k}"]["b"], padding=0, compute_dtype=cd))
+            box_list.append(conv2d(
+                hd, params[f"bbox_pred_{k}"]["w"],
+                params[f"bbox_pred_{k}"]["b"], padding=0, compute_dtype=cd))
+        cls_logits = jnp.stack(cls_list, axis=3)      # (B,h,w,A,2)
+        bbox_deltas = jnp.stack(box_list, axis=3)     # (B,h,w,A,4)
+    else:
+        hd = cbr(ff, "head")
+        raw_cls = conv2d(hd, params["cls_score"]["w"],
+                         params["cls_score"]["b"], padding=0,
+                         compute_dtype=cd)
+        raw_box = conv2d(hd, params["bbox_pred"]["w"],
+                         params["bbox_pred"]["b"], padding=0,
+                         compute_dtype=cd)
+        # cls channels are [bg_a0.. bg_aA, fg_a0.. fg_aA]
+        # (Caffe reshape (1,2,AH,W) pairs channel a with channel A+a).
+        cls_logits = raw_cls.reshape(b, hh, ww, 2, A).transpose(0, 1, 2, 4, 3)
+        # bbox channels are anchor-major groups of 4.
+        bbox_deltas = raw_box.reshape(b, hh, ww, A, 4)
+
+    return {"cls_logits": cls_logits, "bbox_deltas": bbox_deltas}

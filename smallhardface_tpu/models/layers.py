@@ -1,0 +1,100 @@
+"""Primitive NN ops for the detector, NHWC layout, XLA-native.
+
+These replace the Caffe layer zoo the reference model actually uses
+(/root/reference/caffe/src/caffe/layers/: Convolution incl. dilation, ReLU,
+MaxPool, bilinear group Deconvolution, Concat, Softmax) with jitted
+lax primitives that fuse under XLA and map onto the MXU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d(x, w, b=None, *, stride=1, dilation=1, padding="SAME",
+           compute_dtype=None):
+    """NHWC conv. ``w``: HWIO. ``padding`` may be 'SAME', an int, or explicit.
+
+    For dilation d with a k×k kernel the Caffe templates use pad = d*(k-1)/2
+    which equals SAME for odd k; we pass explicit pads to be exact.
+    """
+    if isinstance(padding, str):
+        pads = padding
+    else:
+        p = int(padding)
+        pads = ((p, p), (p, p))
+    orig_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=pads,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = out.astype(orig_dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def max_pool_2x2(x):
+    """2×2/2 max pool with Caffe's ceil-mode output size.
+
+    Caffe computes ceil((H-k)/s)+1 (pooling_layer.cpp); for odd H that
+    requires one pixel of -inf padding at the bottom/right.
+    """
+    h, w = x.shape[1], x.shape[2]
+    pad_h = h % 2
+    pad_w = w % 2
+    pads = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=pads)
+
+
+def bilinear_kernel(factor: int, channels: int, dtype=np.float32):
+    """Caffe 'bilinear' filler weights for a depthwise upsampling deconv
+    (/root/reference/caffe/include/caffe/filler.hpp BilinearFiller):
+    k = 2f - f%2, c = (2f - 1 - f%2) / (2f)."""
+    k = 2 * factor - factor % 2
+    c = (2 * factor - 1 - factor % 2) / (2.0 * factor)
+    og = np.arange(k, dtype=np.float64)
+    v = 1.0 - np.abs(og / factor - c)
+    kern2d = np.outer(v, v)
+    w = np.zeros((k, k, 1, channels), dtype=dtype)
+    w[:, :, 0, :] = kern2d[:, :, None]
+    return w
+
+
+def upsample2x_bilinear(x, w):
+    """Depthwise transposed conv, kernel 4, stride 2, pad 1: output = 2H×2W,
+    matching Caffe Deconvolution(group=C, bilinear, lr_mult 0)
+    (/root/reference/models/test_different_dilation_template.prototxt:395-410).
+
+    Implemented as a fractionally-strided conv: lhs_dilation 2 with explicit
+    padding (k-1-p) = 2 per side. The bilinear kernel is symmetric so no
+    spatial flip is needed.
+    """
+    c = x.shape[-1]
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def softmax2(logits, axis=-1):
+    return jax.nn.softmax(logits, axis=axis)

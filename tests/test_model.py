@@ -1,0 +1,100 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smallhardface_tpu.models import detector
+from smallhardface_tpu.models.layers import (
+    bilinear_kernel, upsample2x_bilinear, max_pool_2x2, conv2d)
+
+
+def test_bilinear_kernel_factor2():
+    w = bilinear_kernel(2, 1)
+    v = np.array([0.25, 0.75, 0.75, 0.25])
+    np.testing.assert_allclose(w[:, :, 0, 0], np.outer(v, v))
+
+
+def test_upsample_doubles_and_interpolates():
+    c = 3
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 5, 7, c),
+                    jnp.float32)
+    w = jnp.asarray(bilinear_kernel(2, c))
+    y = upsample2x_bilinear(x, w)
+    assert y.shape == (1, 10, 14, c)
+    # Even output rows/cols interpolate: compare against direct computation
+    # of the transposed-conv definition on a constant image.
+    ones = jnp.ones((1, 4, 4, 1), jnp.float32)
+    yo = upsample2x_bilinear(ones, jnp.asarray(bilinear_kernel(2, 1)))
+    # interior of a constant image must stay 1 (partition of unity)
+    np.testing.assert_allclose(np.asarray(yo)[0, 2:-2, 2:-2, 0], 1.0,
+                               atol=1e-6)
+
+
+def test_max_pool_ceil_mode():
+    x = jnp.arange(5.0 * 6).reshape(1, 5, 6, 1)
+    y = max_pool_2x2(x)
+    assert y.shape == (1, 3, 3, 1)     # ceil(5/2), ceil(6/2)
+    x2 = jnp.arange(4.0 * 4).reshape(1, 4, 4, 1)
+    assert max_pool_2x2(x2).shape == (1, 2, 2, 1)
+
+
+def test_conv2d_matches_numpy_direct():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 6, 6, 2).astype(np.float32)
+    w = rng.randn(3, 3, 2, 4).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    y = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                          padding=1))
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want = np.zeros((1, 6, 6, 4), np.float32)
+    for i in range(6):
+        for j in range(6):
+            patch = xp[0, i:i + 3, j:j + 3, :]
+            want[0, i, j] = np.tensordot(patch, w, axes=3) + b
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("different_dilation", [True, False])
+def test_detector_shapes(different_dilation):
+    spec = detector.ModelSpec(different_dilation=different_dilation)
+    params = detector.init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.zeros((1, 64, 80, 3), jnp.float32)
+    out = jax.jit(
+        lambda p, x: detector.forward(p, x, spec))(params, x)
+    assert out["cls_logits"].shape == (1, 8, 10, 3, 2)
+    assert out["bbox_deltas"].shape == (1, 8, 10, 3, 4)
+
+
+def test_detector_shared_head_param():
+    spec = detector.ModelSpec(different_dilation=True)
+    shapes = detector.param_shapes(spec)
+    assert "head" in shapes and "head_1" not in shapes
+    # one 128-ch 3x3 conv over the 128-ch dim-reduced feature
+    assert shapes["head"]["w"] == (3, 3, 128, 128)
+
+
+def test_param_multipliers():
+    spec = detector.ModelSpec(different_dilation=True,
+                              backbone_lr_mult=2.0, head_lr_mult=1.0)
+    lr, decay = detector.param_multipliers(spec)
+    assert lr["conv1_1"]["w"] == 0.0 and lr["conv2_2"]["b"] == 0.0
+    assert lr["conv3_1"]["w"] == 2.0 and lr["conv3_1"]["b"] == 4.0
+    assert decay["conv3_1"]["b"] == 1.0          # caffe default decay_mult
+    assert lr["conv4_fuse_final_dim_red"]["w"] == 2.0
+    assert lr["head"]["w"] == 1.0 and lr["head"]["b"] == 2.0
+    assert decay["head"]["b"] == 0.0
+    assert lr["cls_score_2"]["b"] == 2.0 and decay["bbox_pred_4"]["b"] == 0.0
+    assert lr["conv5_256_up"]["w"] == 0.0
+
+
+def test_flip_equivariance():
+    """Horizontally flipping the input must flip the score map (same stack
+    the reference exploits for flip TTA, lib/test.py:147-155)."""
+    spec = detector.ModelSpec(different_dilation=True)
+    params = detector.init_params(jax.random.PRNGKey(1), spec)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 48, 64, 3))
+    out = detector.forward(params, x, spec)
+    out_f = detector.forward(params, x[:, :, ::-1, :], spec)
+    np.testing.assert_allclose(
+        np.asarray(out_f["cls_logits"])[:, :, ::-1],
+        np.asarray(out["cls_logits"]), rtol=2e-4, atol=2e-4)
