@@ -68,6 +68,7 @@ def decode_proposals(fg_scores, bbox_deltas, base_anchors, *,
     hs = boxes[..., 3] - boxes[..., 1] + 1
     size_ok = (ws >= min_size) & (hs >= min_size)
 
+    capacity = min(int(capacity), h * w * A)
     keepable = grid_ok & size_ok
     sortable = jnp.where(keepable, fg_scores, -jnp.inf).reshape(-1)
     n_above = jnp.sum(sortable >= score_thresh).astype(jnp.int32)

@@ -1,0 +1,146 @@
+"""Dataset evaluation orchestration (reference /root/reference/lib/test.py:
+220-372): shard images over devices, run per-image pyramid detection,
+cache `detections.pkl`, then hand off to the dataset's evaluator.
+
+The reference forked one process per GPU and gathered via a Queue
+(lib/test.py:319-344); on TPU each local device gets a worker thread with
+its own replicated params — XLA dispatch releases the GIL so device work
+overlaps, and host-side merge/vote overlaps compute across workers.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from concurrent.futures import ThreadPoolExecutor
+
+import cv2
+import numpy as np
+import jax
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.detect import TPUDetector
+from smallhardface_tpu.models import detector as detector_mod
+from smallhardface_tpu.utils.timer import Timer
+from smallhardface_tpu.utils.tensorboard import tb
+
+logger = logging.getLogger(__name__)
+
+
+def _load_params(spec):
+    """Resolve TEST.MODEL into a param pytree: .caffemodel or native .npz."""
+    import jax.random as jrandom
+    params = detector_mod.init_params(jrandom.PRNGKey(cfg.RNG_SEED), spec)
+    path = cfg.TEST.MODEL
+    if not path:
+        logger.warning("TEST.MODEL is empty; using random-init weights")
+        return params
+    if path.endswith(".caffemodel"):
+        from smallhardface_tpu.io import caffemodel
+        return caffemodel.load_into_params(path, params)
+    from smallhardface_tpu.io import checkpoint
+    return checkpoint.load_params(path, params)
+
+
+def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
+    det = TPUDetector(params, spec, device=device)
+    timers = {"detect": Timer(), "misc": Timer()}
+    dets = [[[] for _ in range(start, end)]
+            for _ in range(imdb.num_classes)]
+    for i in range(start, end):
+        im_path = imdb.image_path_at(i)
+        dets_, _ = det.detect(im_path, thresh, timers=timers)
+        for c in range(imdb.num_classes - 1):
+            dets[c + 1][i - start] = dets_[c]
+        if rank == 0 and (i - start) % 20 == 0:
+            done = i + 1 - start
+            total = end - start
+            avg = timers["detect"].average_time + timers["misc"].average_time
+            logger.info(
+                "%02d%% detect-time: %.3fs, misc-time: %.3fs, "
+                "remain-time: %.1fs",
+                int(100 * done / total), timers["detect"].average_time,
+                timers["misc"].average_time, (total - done) * avg)
+            tb.sess.add_scalar_value(
+                "detect-time", timers["detect"].average_time, step=i - start)
+    return rank, dets
+
+
+def run_inference(imdb, params, spec, thresh):
+    devices = jax.local_devices()
+    n_workers = max(1, min(len(devices), len(imdb)))
+    len_per = int(np.ceil(len(imdb) / n_workers))
+    shards = [(r, devices[r], len_per * r, min(len_per * (r + 1), len(imdb)))
+              for r in range(n_workers)]
+    if n_workers == 1:
+        results = [inference_worker(0, devices[0], imdb, params, spec,
+                                    0, len(imdb), thresh)]
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            futs = [
+                pool.submit(inference_worker, r, d, imdb, params, spec,
+                            s, e, thresh)
+                for r, d, s, e in shards
+            ]
+            results = [f.result() for f in futs]
+    results.sort(key=lambda x: x[0])
+    dets = [[im_dets for _, shard in results for im_dets in shard[c]]
+            for c in range(imdb.num_classes)]
+    return dets
+
+
+def demo(params, spec, thresh):
+    """Single-image demo: draw rectangles on TEST.DEMO.IMAGE →
+    /tmp/demo_res.jpg (reference lib/test.py:270-287)."""
+    det = TPUDetector(params, spec)
+    im_path = cfg.TEST.DEMO.IMAGE
+    dets, _ = det.detect(im_path, thresh)
+    im = cv2.imread(im_path)
+    for i in range(dets[0].shape[0]):
+        if dets[0][i, -1] < thresh:
+            continue
+        cv2.rectangle(im, (int(dets[0][i, 0]), int(dets[0][i, 1])),
+                      (int(dets[0][i, 2]), int(dets[0][i, 3])),
+                      (0, 255, 0), 2)
+    cv2.imwrite("/tmp/demo_res.jpg", im)
+    logger.info("Demo result written to /tmp/demo_res.jpg "
+                "(%d detections)", dets[0].shape[0])
+    return None
+
+
+def test_net(imdb, output_dir, thresh=0.05, no_cache=False, step=0,
+             params=None, spec=None):
+    spec = spec or detector_mod.build_spec(cfg)
+    if params is None:
+        params = _load_params(spec)
+    if imdb is None:
+        assert cfg.TEST.DEMO.ENABLE, "check your config and stderr!"
+        return demo(params, spec, thresh)
+    logger.info("Evaluating %s on %s", cfg.NAME, imdb.name)
+
+    dets = None
+    det_file = os.path.join(output_dir, "detections.pkl")
+    if not no_cache and os.path.exists(det_file):
+        try:
+            with open(det_file, "rb") as f:
+                dets = pickle.load(f)
+            logger.info("Loading detections from cache: %s", det_file)
+        except Exception:
+            logger.warning("Could not load the cached detections file, "
+                           "detecting from scratch!")
+
+    if dets is None:
+        dets = run_inference(imdb, params, spec, thresh)
+        assert len(dets[0]) == len(imdb), "Detection result compromised"
+        if not no_cache:
+            with open(det_file, "wb") as f:
+                pickle.dump(dets, f, pickle.HIGHEST_PROTOCOL)
+
+    logger.info("Evaluating detections")
+    result = imdb.evaluate_detections(
+        all_boxes=dets, output_dir=output_dir, method_name=cfg.NAME,
+        step=step)
+    logger.info(result)
+    logger.info("All Done!")
+    return result

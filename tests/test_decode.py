@@ -1,0 +1,115 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smallhardface_tpu.ops import decode, anchors, bbox_np
+
+BASE = anchors.generate_anchors(base_size=16, ratios=[1], scales=[1, 2, 4],
+                                shifts=[0], strides=[8, 8, 8])
+
+
+def _np_proposal_oracle(fg, deltas, im_h, im_w, score_thresh, capacity):
+    """Host re-derivation of the reference ProposalLayer TEST path
+    (/root/reference/lib/layers/proposal_layer.py:100-190): decode all
+    (h, w, a) anchors, clip, threshold with keep-at-least-one, cap."""
+    h, w, A = fg.shape
+    dense = anchors.dense_anchors(h, w, 8, BASE)
+    props = bbox_np.bbox_transform_inv(dense, deltas.reshape(-1, 4))
+    props = bbox_np.clip_boxes(props, (im_h, im_w))
+    scores = fg.reshape(-1)
+    order = np.argsort(-scores, kind="stable")
+    above = np.where(scores[order] >= score_thresh)[0]
+    n = int(above.max()) + 1 if above.size else 1
+    n = min(n, capacity)
+    keep = order[:n]
+    return props[keep], scores[keep]
+
+
+def test_decode_matches_numpy_oracle(rng):
+    h, w = 6, 9
+    fg = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    deltas = (rng.randn(h, w, 3, 4) * 0.3).astype(np.float32)
+    im_h, im_w = 8 * h - 3, 8 * w - 5
+    cap = 50
+    boxes, scores, n = decode.decode_proposals(
+        jnp.asarray(fg), jnp.asarray(deltas), BASE, feat_stride=8,
+        im_h=float(im_h), im_w=float(im_w), valid_h=h, valid_w=w,
+        score_thresh=0.5, min_size=0.0, capacity=cap)
+    n = int(n)
+    ob, os_ = _np_proposal_oracle(fg.astype(np.float64),
+                                  deltas.astype(np.float64),
+                                  im_h, im_w, 0.5, cap)
+    assert n == len(os_)
+    # same score multiset and same boxes (sorted by score)
+    np.testing.assert_allclose(np.sort(np.asarray(scores[:n])),
+                               np.sort(os_), rtol=1e-5)
+    got = np.asarray(boxes[:n])[np.argsort(-np.asarray(scores[:n]))]
+    want = ob[np.argsort(-os_, kind="stable")]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+def test_decode_keep_at_least_one(rng):
+    h, w = 4, 4
+    fg = np.full((h, w, 3), 0.001, np.float32)
+    fg[2, 3, 1] = 0.0015   # best, still below thresh
+    deltas = np.zeros((h, w, 3, 4), np.float32)
+    boxes, scores, n = decode.decode_proposals(
+        jnp.asarray(fg), jnp.asarray(deltas), BASE, feat_stride=8,
+        im_h=32.0, im_w=32.0, valid_h=h, valid_w=w,
+        score_thresh=0.002, min_size=0.0, capacity=10)
+    assert int(n) == 1
+    np.testing.assert_allclose(float(scores[0]), 0.0015, rtol=1e-5)
+
+
+def test_decode_bucket_padding_invariant(rng):
+    """Extra bucket padding (with garbage scores in the padded region) must
+    not change the kept detections."""
+    h, w = 5, 7
+    fg = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    deltas = (rng.randn(h, w, 3, 4) * 0.2).astype(np.float32)
+    kw = dict(feat_stride=8, im_h=37.0, im_w=51.0, valid_h=h, valid_w=w,
+              score_thresh=0.4, min_size=0.0, capacity=30)
+    b1, s1, n1 = decode.decode_proposals(
+        jnp.asarray(fg), jnp.asarray(deltas), BASE, **kw)
+    hp, wp = 16, 16
+    fgp = rng.uniform(0, 1, (hp, wp, 3)).astype(np.float32)
+    fgp[:h, :w] = fg
+    dp = (rng.randn(hp, wp, 3, 4)).astype(np.float32)
+    dp[:h, :w] = deltas
+    b2, s2, n2 = decode.decode_proposals(
+        jnp.asarray(fgp), jnp.asarray(dp), BASE, **kw)
+    assert int(n1) == int(n2)
+    n = int(n1)
+    np.testing.assert_allclose(np.asarray(s1[:n]), np.asarray(s2[:n]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1[:n]), np.asarray(b2[:n]),
+                               rtol=1e-6)
+
+
+def test_detect_end_to_end_smoke():
+    from smallhardface_tpu.config import cfg
+    from smallhardface_tpu.detect import TPUDetector
+    from smallhardface_tpu.models import detector as dm
+
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET)
+    cfg.TEST.SCALES = [60, 100]
+    cfg.TEST.FLIP = True
+    cfg.TPU.TEST_BUCKET = 64
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(0), spec)
+        det = TPUDetector(params, spec)
+        im = (np.random.RandomState(0).uniform(0, 255, (120, 160, 3))
+              .astype(np.uint8))
+        cls_dets, timers = det.detect(im, thresh=0.05)
+        assert len(cls_dets) == 1
+        dets = cls_dets[0]
+        assert dets.ndim == 2 and dets.shape[1] == 5
+        assert np.isfinite(dets).all()
+        # determinism
+        dets2 = det.detect(im, thresh=0.05)[0][0]
+        np.testing.assert_array_equal(dets, dets2)
+        # only two compiled programs: one per scale bucket
+        assert len(det._compiled) <= 2
+    finally:
+        cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET = old
