@@ -23,12 +23,13 @@ import numpy as np
 import cv2
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from smallhardface_tpu.config import cfg
 from smallhardface_tpu.models import detector as detector_mod
 from smallhardface_tpu.ops import anchors as anchors_mod
 from smallhardface_tpu.ops import decode as decode_mod
-from smallhardface_tpu.ops import nms_np
+from smallhardface_tpu.ops import native as nms_host
 from smallhardface_tpu.utils.timer import Timer
 
 logger = logging.getLogger(__name__)
@@ -52,7 +53,20 @@ def _round_up(x, m):
 
 
 class TPUDetector:
-    """Holds params + a cache of jitted (bucketed-shape) forward programs."""
+    """Holds params + a cache of jitted (bucketed-shape) programs.
+
+    Two execution modes:
+      - device preprocessing (default): the raw uint8 image is uploaded
+        ONCE per image; every pyramid level derives on device — float cast,
+        mean subtraction, cv2-convention bilinear resize
+        (out(o) = in((o+0.5)/fx - 0.5), exactly what cv2.resize does with an
+        explicit fx), horizontal mirror for flip TTA, zero padding — fused
+        into the forward+decode program. Host↔device traffic per image is
+        one uint8 upload + a few KB of detections.
+      - host preprocessing (cfg.TPU.HOST_PREPROC): cv2 resize on host and a
+        float32 upload per scale, bit-matching the reference pipeline
+        (lib/utils/test_utils.py:29-46) for parity debugging.
+    """
 
     def __init__(self, params, spec=None, device=None):
         self.spec = spec or detector_mod.build_spec(cfg)
@@ -68,34 +82,109 @@ class TPUDetector:
         cap = int(cfg.TPU.DET_CAPACITY)
         self.capacity = cap if cap > 0 else int(cfg.TEST.N_DETS_PER_MODULE)
         self._compiled = {}
+        self._compiled_dev = {}
         precision = cfg.TPU.PRECISION
         self.compute_dtype = (jnp.bfloat16 if precision == "bfloat16"
                               else None)
+        self.host_preproc = bool(cfg.TPU.HOST_PREPROC)
+
+    def _decode_batch(self, out, im_h, im_w, valid_h, valid_w, min_size,
+                      score_thresh):
+        probs = jax.nn.softmax(out["cls_logits"], axis=-1)[..., 1]
+
+        def one(p, d):
+            return decode_mod.decode_proposals(
+                p, d, self.base_anchors,
+                feat_stride=detector_mod.FEAT_STRIDE,
+                im_h=im_h, im_w=im_w,
+                valid_h=valid_h, valid_w=valid_w,
+                score_thresh=score_thresh, min_size=min_size,
+                capacity=self.capacity)
+
+        return jax.vmap(one)(probs, out["bbox_deltas"])
+
+    def _device_program(self, key):
+        """Fused preprocess+forward+decode for one pyramid level.
+        key = (H0b, W0b, hb, wb, flip)."""
+        if key in self._compiled_dev:
+            return self._compiled_dev[key]
+        H0b, W0b, hb, wb, flip = key
+        spec = self.spec
+        cd = self.compute_dtype
+        mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
+
+        def run(params, raw_u8, inv_fx, h_s, w_s, im_h, im_w,
+                valid_h, valid_w, min_size, score_thresh):
+            img = raw_u8.astype(jnp.float32)
+            # cv2-convention bilinear: out(o) = in((o + 0.5) * inv_fx - 0.5)
+            # → jax.image convention scale = 1/inv_fx, translation 0.
+            sc = 1.0 / inv_fx
+            resized = jax.image.scale_and_translate(
+                img, (hb, wb, 3), (0, 1),
+                scale=jnp.stack([sc, sc]),
+                translation=jnp.zeros((2,), jnp.float32),
+                method="linear", antialias=False)
+            resized = resized - mean
+            ys = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+            xs = lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+            valid = ((ys < h_s) & (xs < w_s))[..., None]
+            resized = jnp.where(valid, resized, 0.0)
+            ims = [resized]
+            if flip:
+                idx = jnp.clip(w_s - 1 - jnp.arange(wb), 0, wb - 1)
+                mirrored = jnp.take(resized, idx, axis=1)
+                mirrored = jnp.where(valid, mirrored, 0.0)
+                ims.append(mirrored)
+            x = jnp.stack(ims, axis=0)
+            out = detector_mod.forward(params, x, spec, compute_dtype=cd)
+            return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
+                                      min_size, score_thresh)
+
+        fn = jax.jit(run)
+        self._compiled_dev[key] = fn
+        return fn
+
+    def run_pyramid_level(self, raw_u8_dev, h0, w0, scale,
+                          score_thresh=None):
+        """Device-preproc path for one pyramid level. raw_u8_dev is the
+        edge-padded uint8 original already on device. Returns
+        (boxes, scores, counts) numpy plus the resized (h_s, w_s)."""
+        h_s = int(round(h0 * scale))
+        w_s = int(round(w0 * scale))
+        bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
+        hb = _round_up(max(h_s, cfg.MAX_RESOLUTION), bucket)
+        wb = _round_up(max(w_s, cfg.MAX_RESOLUTION), bucket)
+        key = (raw_u8_dev.shape[0], raw_u8_dev.shape[1], hb, wb,
+               bool(cfg.TEST.FLIP))
+        fn = self._device_program(key)
+        h16 = _round_up(h_s, cfg.MAX_RESOLUTION)
+        w16 = _round_up(w_s, cfg.MAX_RESOLUTION)
+        boxes, scores, counts = fn(
+            self.params, raw_u8_dev,
+            jnp.float32(1.0 / scale),
+            jnp.int32(h_s), jnp.int32(w_s),
+            jnp.float32(h_s), jnp.float32(w_s),
+            jnp.int32(h16 // detector_mod.FEAT_STRIDE),
+            jnp.int32(w16 // detector_mod.FEAT_STRIDE),
+            jnp.float32(0.0),
+            jnp.float32(score_thresh if score_thresh is not None
+                        else cfg.TEST.SCORE_THRESH))
+        return (np.asarray(boxes), np.asarray(scores), np.asarray(counts),
+                h_s, w_s)
 
     def _program(self, shape):
-        """Jitted forward+decode for a (B, H, W) padded shape."""
+        """Jitted forward+decode for a (B, H, W) padded shape (host-preproc
+        path)."""
         if shape in self._compiled:
             return self._compiled[shape]
         spec = self.spec
-        base_anchors = self.base_anchors
-        capacity = self.capacity
         cd = self.compute_dtype
 
         def run(params, x, im_h, im_w, valid_h, valid_w, min_size,
                 score_thresh):
             out = detector_mod.forward(params, x, spec, compute_dtype=cd)
-            probs = jax.nn.softmax(out["cls_logits"], axis=-1)[..., 1]
-
-            def one(p, d):
-                return decode_mod.decode_proposals(
-                    p, d, base_anchors,
-                    feat_stride=detector_mod.FEAT_STRIDE,
-                    im_h=im_h, im_w=im_w,
-                    valid_h=valid_h, valid_w=valid_w,
-                    score_thresh=score_thresh, min_size=min_size,
-                    capacity=capacity)
-
-            return jax.vmap(one)(probs, out["bbox_deltas"])
+            return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
+                                      min_size, score_thresh)
 
         fn = jax.jit(run)
         self._compiled[shape] = fn
@@ -143,8 +232,6 @@ class TPUDetector:
             im = cv2.imread(im)
         timers["detect"].tic()
 
-        im_f = im.astype(np.float32) - np.asarray(cfg.PIXEL_MEANS,
-                                                  dtype=np.float32)
         scales = list(cfg.TEST.SCALES)
         if len(scales) == 1:
             # single-scale: short side → SCALES[0] capped at MAX_SIZE
@@ -163,18 +250,9 @@ class TPUDetector:
 
         all_boxes = []
         all_scores = []
-        for scale in pyramid_scales:
-            if scale == 1.0:
-                resized = im_f
-            else:
-                resized = cv2.resize(im_f, None, None, fx=scale, fy=scale,
-                                     interpolation=cv2.INTER_LINEAR)
-            h, w = resized.shape[:2]
-            ims = [resized]
-            if cfg.TEST.FLIP:
-                ims.append(resized[:, ::-1])
-            boxes, scores, counts = self.forward_scale(ims, h, w)
-            for i in range(len(ims)):
+
+        def collect(boxes, scores, counts, w, scale):
+            for i in range(boxes.shape[0]):
                 n = int(counts[i])
                 bx = boxes[i, :n].astype(np.float64)
                 sc = scores[i, :n].astype(np.float64)
@@ -186,6 +264,37 @@ class TPUDetector:
                 all_boxes.append(bx)
                 all_scores.append(sc)
 
+        if self.host_preproc:
+            im_f = im.astype(np.float32) - np.asarray(
+                cfg.PIXEL_MEANS, dtype=np.float32)
+            for scale in pyramid_scales:
+                if scale == 1.0:
+                    resized = im_f
+                else:
+                    resized = cv2.resize(im_f, None, None, fx=scale,
+                                         fy=scale,
+                                         interpolation=cv2.INTER_LINEAR)
+                h, w = resized.shape[:2]
+                ims = [resized]
+                if cfg.TEST.FLIP:
+                    ims.append(resized[:, ::-1])
+                boxes, scores, counts = self.forward_scale(ims, h, w)
+                collect(boxes, scores, counts, w, scale)
+        else:
+            h0, w0 = im.shape[:2]
+            bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
+            H0b = _round_up(h0, bucket)
+            W0b = _round_up(w0, bucket)
+            padded = np.pad(im, ((0, H0b - h0), (0, W0b - w0), (0, 0)),
+                            mode="edge")
+            raw = jnp.asarray(padded)     # one uint8 upload per image
+            if self.device is not None:
+                raw = jax.device_put(raw, self.device)
+            for scale in pyramid_scales:
+                boxes, scores, counts, h_s, w_s = self.run_pyramid_level(
+                    raw, h0, w0, scale)
+                collect(boxes, scores, counts, w_s, scale)
+
         probs = np.concatenate(all_scores)
         boxes = np.concatenate(all_boxes)
         timers["detect"].toc()
@@ -195,9 +304,9 @@ class TPUDetector:
         dets = np.hstack(
             (boxes[inds], probs[inds, None])).astype(np.float32)
         if cfg.TEST.NMS_METHOD == "BBOX_VOTE":
-            cls_dets = [nms_np.bbox_vote(dets, cfg.TEST.NMS_THRESH)]
+            cls_dets = [nms_host.bbox_vote(dets, cfg.TEST.NMS_THRESH)]
         elif cfg.TEST.NMS_METHOD == "NMS":
-            keep = nms_np.nms(dets, cfg.TEST.NMS_THRESH)
+            keep = nms_host.nms(dets, cfg.TEST.NMS_THRESH)
             cls_dets = [dets[keep, :]]
         else:
             raise NotImplementedError(

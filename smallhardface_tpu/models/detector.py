@@ -185,6 +185,8 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None):
     order of ops.anchors.generate_anchors(scales=[1,2,4]).
     """
     cd = compute_dtype
+    if cd is not None:
+        x = x.astype(cd)
 
     def cbr(h, name, dilation=1):
         pad = dilation  # 3x3 kernels throughout
@@ -242,4 +244,5 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None):
         # bbox channels are anchor-major groups of 4.
         bbox_deltas = raw_box.reshape(b, hh, ww, A, 4)
 
-    return {"cls_logits": cls_logits, "bbox_deltas": bbox_deltas}
+    return {"cls_logits": cls_logits.astype(jnp.float32),
+            "bbox_deltas": bbox_deltas.astype(jnp.float32)}

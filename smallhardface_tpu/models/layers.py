@@ -26,19 +26,24 @@ def conv2d(x, w, b=None, *, stride=1, dilation=1, padding="SAME",
     else:
         p = int(padding)
         pads = ((p, p), (p, p))
-    orig_dtype = x.dtype
     if compute_dtype is not None:
+        # bf16 path: activations stay in compute_dtype end-to-end (the
+        # caller converts once at the network boundary); the MXU still
+        # accumulates in f32 via preferred_element_type.
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        acc = jnp.float32
+    else:
+        acc = jnp.float32
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=pads,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
-    out = out.astype(orig_dtype)
+    out = out.astype(x.dtype)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
@@ -86,7 +91,7 @@ def upsample2x_bilinear(x, w):
     """
     c = x.shape[-1]
     return lax.conv_general_dilated(
-        x, w,
+        x, w.astype(x.dtype),
         window_strides=(1, 1),
         padding=((2, 2), (2, 2)),
         lhs_dilation=(2, 2),

@@ -9,6 +9,7 @@ training target computation (replacing Cython bbox_overlaps,
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -81,7 +82,7 @@ def iou_matrix(boxes, query):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def max_iou_chunked(anchors, gt_boxes, gt_mask, chunk=128):
+def max_iou_chunked(anchors, gt_boxes, gt_mask, chunk=128, axis_name=None):
     """Per-anchor (max IoU, argmax gt) against a padded gt array.
 
     anchors: (N, 4); gt_boxes: (G, 4) padded; gt_mask: (G,) bool.
@@ -113,5 +114,10 @@ def max_iou_chunked(anchors, gt_boxes, gt_mask, chunk=128):
     init = (jnp.full((n,), -1.0, anchors.dtype),
             jnp.zeros((n,), jnp.int32),
             jnp.int32(0))
+    # Under shard_map the scanned gt chunks are device-varying while the
+    # constant init carry is replicated; align the carry's varying axes.
+    if axis_name is not None:
+        init = jax.tree_util.tree_map(
+            lambda x: lax.pcast(x, axis_name, to="varying"), init)
     (best, best_idx, _), _ = lax.scan(body, init, (gt_b, gt_m))
     return jnp.maximum(best, 0.0), best_idx

@@ -1,0 +1,43 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference scaled by forking one Caffe solver process per GPU and fusing
+gradients with NCCL allreduce (/root/reference/caffe/src/caffe/parallel.cpp:
+125-257). TPU-native, a single process drives a `jax.sharding.Mesh` over the
+local devices; the train step is jitted over the mesh with a `shard_map`
+whose psum over the 'data' axis plays the allreduce role on ICI.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int = -1) -> Mesh:
+    devs = jax.devices()
+    n = len(devs) if num_devices <= 0 else min(num_devices, len(devs))
+    return Mesh(np.array(devs[:n]), (DATA_AXIS,))
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def replicated_spec() -> P:
+    return P()
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place host arrays with a leading device axis onto the mesh."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

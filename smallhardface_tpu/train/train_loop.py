@@ -1,0 +1,323 @@
+"""Data-parallel training loop over a TPU mesh.
+
+Replaces the reference's process-per-GPU + NCCL orchestration
+(/root/reference/lib/train.py:90-258, caffe/src/caffe/parallel.cpp:125-257):
+one process drives a jax.sharding.Mesh; the jitted train step shard_maps the
+per-device gradient computation and psums over the 'data' axis (the
+allreduce), then applies the Caffe-semantics SGD update on replicated
+params. iter_size gradient accumulation runs as a lax.scan over micro-images
+inside the step (solver.cpp:208-211), so memory matches the 1-image case.
+
+Shapes are bucketed: each iteration all replicas share one padded
+(H, W, G) bucket chosen from the global batch, so the number of compiled
+programs stays bounded while image sizes vary (multi-scale training).
+
+The easy-image mining feedback crosses device→host once per step as a small
+bool array; the loaders consume it at epoch reshuffle
+(multi_layer_anchor_layer.py:329-338 → roi_data_layer/layer.py:37-50).
+"""
+
+from __future__ import annotations
+
+import datetime
+import functools
+import logging
+import math
+import os
+import os.path as osp
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as detector_mod
+from smallhardface_tpu.ops import anchors as anchors_mod
+from smallhardface_tpu.parallel.mesh import make_mesh, DATA_AXIS
+from smallhardface_tpu.train import targets as targets_mod
+from smallhardface_tpu.train import solver as solver_mod
+from smallhardface_tpu.train.loader import RoIDataLoader
+from smallhardface_tpu.train.losses import (
+    softmax_ce_with_ignore, smooth_l1)
+from smallhardface_tpu.io import checkpoint
+from smallhardface_tpu.utils.timer import Timer
+from smallhardface_tpu.utils.tensorboard import tb
+
+logger = logging.getLogger(__name__)
+
+BUCKET = 128  # spatial padding granularity for train shape reuse
+
+
+def get_training_roidb(imdb):
+    """Flip-augment, prepare, and filter the roidb
+    (/root/reference/lib/train.py:181-227)."""
+    if cfg.TRAIN.USE_FLIPPED:
+        logger.info("Appending horizontally-flipped training examples...")
+        imdb.append_flipped_images()
+        logger.info("done")
+    logger.info("Preparing training data...")
+    imdb.prepare_roidb()
+
+    def is_valid(entry):
+        overlaps = entry["max_overlaps"]
+        fg = np.where(overlaps >= cfg.TRAIN.ANCHOR_POSITIVE_OVERLAP)[0]
+        bg = np.where((overlaps < cfg.TRAIN.BG_THRESH_HI) &
+                      (overlaps >= cfg.TRAIN.BG_THRESH_LOW))[0]
+        return len(fg) > 0 or len(bg) > 0
+
+    final = [e for e in imdb.roidb if is_valid(e)]
+    logger.info("done")
+    return final
+
+
+def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
+                    momentum=0.9, compute_dtype=None):
+    """Build the jitted global train step. Compiled per (H, W, G) bucket."""
+    n_dev = mesh.devices.size
+    base_anchors = anchors_mod.generate_anchors(
+        base_size=16, ratios=[1],
+        scales=list(detector_mod.ANCHOR_SCALES), shifts=[0],
+        strides=[detector_mod.FEAT_STRIDE] * 3)
+    lr_mults, decay_mults = detector_mod.param_multipliers(spec)
+
+    def loss_fn(params, data, gt, gt_mask, im_hw, valid_hw):
+        out = detector_mod.forward(params, data[None], spec,
+                                   compute_dtype=compute_dtype)
+        logits = out["cls_logits"][0]
+        deltas = out["bbox_deltas"][0]
+        bg_prob = lax.stop_gradient(
+            jax.nn.softmax(logits, axis=-1)[..., 0])
+        tgt = targets_mod.anchor_targets(
+            bg_prob, base_anchors, gt, gt_mask,
+            im_h=im_hw[0], im_w=im_hw[1],
+            valid_h=valid_hw[0], valid_w=valid_hw[1], tc=tc,
+            axis_name=DATA_AXIS)
+        cls_loss = softmax_ce_with_ignore(
+            logits.reshape(-1, 2), tgt["labels"])
+        reg_loss = smooth_l1(
+            deltas.reshape(-1, 4), tgt["bbox_targets"],
+            tgt["inside_weights"], tgt["outside_weights"])
+        aux = {
+            "cls_loss": cls_loss,
+            "reg_loss": reg_loss,
+            "accuracy": tgt["accuracy"],
+            "easy": tgt["easy"],
+            "n_fg": tgt["n_fg"],
+        }
+        return cls_loss + reg_loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def device_grads(params, data, gt, gt_mask, im_hw, valid_hw):
+        # shards carry a leading device axis of size 1
+        data, gt = data[0], gt[0]
+        gt_mask, im_hw, valid_hw = gt_mask[0], im_hw[0], valid_hw[0]
+
+        def micro(gsum, xs):
+            (_, aux), g = grad_fn(params, *xs)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return gsum, aux
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        gsum, auxes = lax.scan(
+            micro, g0, (data, gt, gt_mask, im_hw, valid_hw))
+        gsum = lax.psum(gsum, DATA_AXIS)
+        grads = jax.tree_util.tree_map(
+            lambda g: g / (n_dev * iter_size), gsum)
+        metrics = {k: v[None] for k, v in auxes.items()}   # (1, I)
+        return grads, metrics
+
+    sharded = shard_map(
+        device_grads, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(DATA_AXIS)))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, momentum_state, rate, data, gt, gt_mask, im_hw,
+             valid_hw):
+        grads, metrics = sharded(params, data, gt, gt_mask, im_hw, valid_hw)
+        new_params, new_momentum = solver_mod.sgd_update(
+            params, grads, momentum_state, rate=rate,
+            lr_mults=lr_mults, decay_mults=decay_mults,
+            weight_decay=weight_decay, momentum=momentum)
+        return new_params, new_momentum, metrics
+
+    return step
+
+
+def _snap(v, bucket):
+    return int(math.ceil(max(v, 1) / bucket) * bucket)
+
+
+def _snap_gt(g, buckets):
+    for b in buckets:
+        if g <= b:
+            return b
+    return buckets[-1]
+
+
+def assemble_batch(samples, n_dev, iter_size, gt_buckets):
+    """Pad a flat list of loader samples (n_dev*iter_size) to shared bucket
+    shapes. Returns (arrays dict, im_idx list, bucket key)."""
+    hmax = max(s["height"] for s in samples)
+    wmax = max(s["width"] for s in samples)
+    hb, wb = _snap(hmax, BUCKET), _snap(wmax, BUCKET)
+    gmax = max(max(s["gt_boxes"].shape[0] for s in samples), 1)
+    gb = _snap_gt(gmax, gt_buckets)
+
+    data = np.zeros((n_dev, iter_size, hb, wb, 3), np.float32)
+    gt = np.zeros((n_dev, iter_size, gb, 5), np.float32)
+    gt_mask = np.zeros((n_dev, iter_size, gb), bool)
+    im_hw = np.zeros((n_dev, iter_size, 2), np.float32)
+    valid_hw = np.zeros((n_dev, iter_size, 2), np.int32)
+    im_idx = []
+    for k, s in enumerate(samples):
+        d, i = divmod(k, iter_size)
+        h, w = s["height"], s["width"]
+        data[d, i, :h, :w] = s["data"]
+        g = min(s["gt_boxes"].shape[0], gb)
+        if s["gt_boxes"].shape[0] > gb:
+            logger.warning("Truncating %d gt boxes to bucket %d",
+                           s["gt_boxes"].shape[0], gb)
+        gt[d, i, :g] = s["gt_boxes"][:g]
+        gt_mask[d, i, :g] = True
+        im_hw[d, i] = (h, w)
+        valid_hw[d, i] = (
+            _snap(h, cfg.MAX_RESOLUTION) // detector_mod.FEAT_STRIDE,
+            _snap(w, cfg.MAX_RESOLUTION) // detector_mod.FEAT_STRIDE)
+        im_idx.append(s["im_idx"])
+    return ({"data": data, "gt": gt, "gt_mask": gt_mask, "im_hw": im_hw,
+             "valid_hw": valid_hw}, im_idx, (hb, wb, gb))
+
+
+def _init_params(spec, pretrained_model):
+    params = detector_mod.init_params(
+        jax.random.PRNGKey(int(cfg.RNG_SEED)), spec)
+    if pretrained_model and os.path.exists(str(pretrained_model)):
+        logger.info("Loading pretrained model weights from %s",
+                    pretrained_model)
+        if str(pretrained_model).endswith(".caffemodel"):
+            from smallhardface_tpu.io import caffemodel
+            params = caffemodel.load_into_params(str(pretrained_model),
+                                                 params)
+        else:
+            params = checkpoint.load_params(str(pretrained_model), params)
+    elif pretrained_model:
+        logger.warning("Pretrained model %s not found; training from "
+                       "random init", pretrained_model)
+    return params
+
+
+def train_net(roidb, output_dir, pretrained_model, max_iter,
+              mesh=None, progress_hook=None):
+    """Train the detector; snapshots + final weights land in output_dir."""
+    spec = detector_mod.build_spec(cfg)
+    tc = targets_mod.from_cfg(cfg)
+    mesh = mesh or make_mesh(int(cfg.TPU.NUM_DEVICES))
+    n_dev = mesh.devices.size
+    iter_size = int(cfg.TRAIN.ITERSIZE)
+    gt_buckets = list(cfg.TPU.MAX_GT_BUCKETS)
+    compute_dtype = (jnp.bfloat16 if cfg.TPU.PRECISION == "bfloat16"
+                     else None)
+
+    params = _init_params(spec, pretrained_model)
+    momentum_state = solver_mod.init_momentum(params)
+    start_iter = 0
+    if cfg.TRAIN.RESUME:
+        params, momentum_state, start_iter, _ = checkpoint.load(
+            cfg.TRAIN.RESUME)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        momentum_state = jax.tree_util.tree_map(jnp.asarray, momentum_state)
+        logger.info("Resumed from %s at iter %d", cfg.TRAIN.RESUME,
+                    start_iter)
+
+    step = make_train_step(
+        spec, tc, mesh, iter_size,
+        weight_decay=float(cfg.TRAIN.WEIGHT_DECAY),
+        compute_dtype=compute_dtype)
+
+    loaders = [RoIDataLoader(roidb, rank=r) for r in range(n_dev)]
+    host_rng = np.random.RandomState(int(cfg.RNG_SEED))
+    num_scales = len(cfg.TRAIN.SCALES.SHORT_SIDE)
+    scale_seq = host_rng.randint(0, num_scales, size=max_iter)
+
+    def build_batch(it):
+        scale_idx = int(scale_seq[it])
+        samples = []
+        with ThreadPoolExecutor(max_workers=max(n_dev * iter_size, 1)) as ex:
+            futs = [ex.submit(loaders[r].get_minibatch, scale_idx)
+                    for r in range(n_dev) for _ in range(iter_size)]
+            samples = [f.result() for f in futs]
+        return assemble_batch(samples, n_dev, iter_size, gt_buckets)
+
+    snapshot_prefix = cfg.NAME if cfg.TRAIN.SNAPSHOT_INFIX == "" else \
+        f"{cfg.NAME}_{cfg.TRAIN.SNAPSHOT_INFIX}"
+    t = Timer()
+    prefetch = ThreadPoolExecutor(max_workers=1)
+    pending = prefetch.submit(build_batch, start_iter)
+
+    for it in range(start_iter, max_iter):
+        t.tic()
+        batch, im_idx, bucket = pending.result()
+        if it + 1 < max_iter:
+            pending = prefetch.submit(build_batch, it + 1)
+        rate = solver_mod.learning_rate(it, cfg)
+        params, momentum_state, metrics = step(
+            params, momentum_state, jnp.float32(rate),
+            jnp.asarray(batch["data"]), jnp.asarray(batch["gt"]),
+            jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
+            jnp.asarray(batch["valid_hw"]))
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        t.toc()
+        it1 = it + 1
+
+        # hard-image mining feedback
+        if cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE:
+            easy = metrics["easy"].reshape(-1)
+            for k, flag in enumerate(easy):
+                if flag:
+                    d, _ = divmod(k, iter_size)
+                    loaders[d].mark_easy(im_idx[k])
+
+        if it1 % int(cfg.TRAIN.SNAPSHOT) == 0 or it1 == max_iter:
+            fname = osp.join(output_dir,
+                             f"{snapshot_prefix}_iter_{it1}.npz")
+            checkpoint.save(fname, jax.device_get(params),
+                            jax.device_get(momentum_state), it1)
+            if it1 == max_iter:
+                checkpoint.save(osp.join(output_dir, "final.npz"),
+                                jax.device_get(params),
+                                jax.device_get(momentum_state), it1)
+                from smallhardface_tpu.io import caffemodel
+                caffemodel.export_params(
+                    osp.join(output_dir, "final.caffemodel"),
+                    jax.device_get(params))
+
+        if it1 % 20 == 0 or it1 == max_iter or it == start_iter:
+            cls_l = float(metrics["cls_loss"].mean())
+            reg_l = float(metrics["reg_loss"].mean())
+            acc = float(metrics["accuracy"].mean())
+            eta = int((max_iter - it1) * t.average_time)
+            logger.info(
+                "iter %d/%d cls_loss: %.5f reg_loss: %.5f accuracy: %.5f "
+                "lr: %.2e bucket: %s speed: %.3f iter/s ETA: %s",
+                it1, max_iter, cls_l, reg_l, acc, rate, bucket,
+                1.0 / max(t.average_time, 1e-9),
+                str(datetime.timedelta(seconds=eta)))
+            tb.sess.add_scalar_value("cls_loss", cls_l, step=it1)
+            tb.sess.add_scalar_value("reg_loss", reg_l, step=it1)
+            tb.sess.add_scalar_value("target_layer_accuracy", acc, step=it1)
+            tb.sess.add_scalar_value("speed", 1.0 / max(t.average_time,
+                                                        1e-9), step=it1)
+            tb.sess.add_scalar_value("ETA (min)", eta / 60.0, step=it1)
+        if progress_hook is not None:
+            progress_hook(it1, metrics)
+
+    prefetch.shutdown(wait=False)
+    logger.info("done solving!")
+    return params

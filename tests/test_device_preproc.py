@@ -1,0 +1,65 @@
+"""Device-fused preprocessing (resize/mean-sub/flip/pad on device) must
+match the host cv2 path within float-vs-fixed-point resize tolerance."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu.detect import TPUDetector
+
+
+@pytest.fixture
+def small_cfg():
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TEST.N_DETS_PER_MODULE, cfg.TPU.HOST_PREPROC)
+    cfg.TEST.SCALES = [60, 110]
+    cfg.TEST.FLIP = True
+    cfg.TPU.TEST_BUCKET = 64
+    cfg.TEST.N_DETS_PER_MODULE = 300
+    yield
+    (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+     cfg.TEST.N_DETS_PER_MODULE, cfg.TPU.HOST_PREPROC) = old
+
+
+def test_device_resize_matches_cv2():
+    """The fused scale_and_translate resize reproduces cv2.resize's
+    explicit-fx convention (sampling with 1/fx, dst dims rounded)."""
+    rng = np.random.RandomState(0)
+    im = rng.randint(0, 255, (75, 99, 3), dtype=np.uint8)
+    for s in (0.37, 0.8, 1.6):
+        want = cv2.resize(im.astype(np.float32), None, fx=s, fy=s,
+                          interpolation=cv2.INTER_LINEAR)
+        hs, ws = want.shape[:2]
+        got = jax.image.scale_and_translate(
+            jnp.asarray(im, jnp.float32), (hs, ws, 3), (0, 1),
+            scale=jnp.asarray([s, s]),
+            translation=jnp.zeros(2),
+            method="linear", antialias=False)
+        np.testing.assert_allclose(np.asarray(got), want, atol=0.6)
+
+
+def test_device_vs_host_detections(small_cfg):
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.RandomState(1)
+    im = rng.randint(0, 255, (90, 130, 3), dtype=np.uint8)
+
+    cfg.TPU.HOST_PREPROC = True
+    det_host = TPUDetector(params, spec)
+    host_dets = det_host.detect(im, thresh=0.05)[0][0]
+
+    cfg.TPU.HOST_PREPROC = False
+    det_dev = TPUDetector(params, spec)
+    dev_dets = det_dev.detect(im, thresh=0.05)[0][0]
+
+    # same number of final (voted) detections and near-identical geometry
+    assert host_dets.shape == dev_dets.shape
+    if host_dets.shape[0]:
+        order_h = np.lexsort(host_dets.T)
+        order_d = np.lexsort(dev_dets.T)
+        np.testing.assert_allclose(dev_dets[order_d], host_dets[order_h],
+                                   rtol=0.02, atol=1.5)

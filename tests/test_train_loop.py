@@ -1,0 +1,156 @@
+"""End-to-end training-step tests on the virtual 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu.parallel.mesh import make_mesh
+from smallhardface_tpu.train import train_loop, targets as tg, solver
+
+
+def _tiny_roidb(tmp_path, n=4, hw=(64, 80)):
+    roidb = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        im = rng.randint(0, 255, (hw[0], hw[1], 3), dtype=np.uint8)
+        # paint a bright square "face"
+        x1, y1 = 10 + 5 * i, 12
+        im[y1:y1 + 24, x1:x1 + 24] = 250
+        path = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(path, im)
+        roidb.append({
+            "image": path,
+            "flipped": False,
+            "boxes": np.array([[x1, y1, x1 + 23, y1 + 23]], np.float64),
+            "gt_classes": np.array([1], np.int32),
+            "width": hw[1],
+            "height": hw[0],
+        })
+    return roidb
+
+
+@pytest.fixture
+def train_cfg(tmp_path):
+    saved = {}
+
+    def set_(path, value):
+        parts = path.split(".")
+        d = cfg
+        for p in parts[:-1]:
+            d = d[p]
+        saved[path] = d[parts[-1]]
+        d[parts[-1]] = value
+
+    set_("TRAIN.SCALES.SHORT_SIDE", [64])
+    set_("TRAIN.SCALES.MAX_SIZE", 128)
+    set_("TRAIN.AUGMENT.ENABLE", False)
+    set_("TRAIN.ITERSIZE", 1)
+    set_("TRAIN.SNAPSHOT", 2)
+    set_("TPU.MAX_GT_BUCKETS", [8])
+    set_("MODEL.DIFFERENT_DILATION.ENABLE", True)
+    set_("TRAIN.DISABLE_EASY_IMAGE.ENABLE", True)
+    set_("TRAIN.DISABLE_EASY_IMAGE.SMOOTH", True)
+    yield
+    for path, v in saved.items():
+        parts = path.split(".")
+        d = cfg
+        for p in parts[:-1]:
+            d = d[p]
+        d[parts[-1]] = v
+
+
+def test_train_step_runs_on_mesh(tmp_path, train_cfg):
+    roidb = _tiny_roidb(tmp_path)
+    mesh = make_mesh(4)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+    losses = []
+    train_loop.train_net(
+        roidb, out_dir, pretrained_model=None, max_iter=3, mesh=mesh,
+        progress_hook=lambda it, m: losses.append(
+            float(m["cls_loss"].mean())))
+    assert len(losses) == 3
+    assert all(np.isfinite(l) for l in losses)
+    # snapshots at iter 2 and final at 3
+    assert os.path.exists(os.path.join(out_dir, "face_iter_2.npz"))
+    assert os.path.exists(os.path.join(out_dir, "final.npz"))
+    assert os.path.exists(os.path.join(out_dir, "final.caffemodel"))
+
+
+def test_train_resume(tmp_path, train_cfg):
+    roidb = _tiny_roidb(tmp_path)
+    mesh = make_mesh(2)
+    out_dir = str(tmp_path / "out2")
+    os.makedirs(out_dir, exist_ok=True)
+    train_loop.train_net(roidb, out_dir, pretrained_model=None,
+                         max_iter=2, mesh=mesh)
+    from smallhardface_tpu.io import checkpoint
+    params, momentum, it, _ = checkpoint.load(
+        os.path.join(out_dir, "final.npz"))
+    assert it == 2
+    assert momentum is not None
+    # resume for one more iter
+    old_resume = cfg.TRAIN.RESUME
+    cfg.TRAIN.RESUME = os.path.join(out_dir, "final.npz")
+    try:
+        train_loop.train_net(roidb, out_dir, pretrained_model=None,
+                             max_iter=3, mesh=mesh)
+        _, _, it2, _ = checkpoint.load(os.path.join(out_dir, "final.npz"))
+        assert it2 == 3
+    finally:
+        cfg.TRAIN.RESUME = old_resume
+
+
+def test_train_step_updates_only_unfrozen(tmp_path, train_cfg):
+    roidb = _tiny_roidb(tmp_path)
+    mesh = make_mesh(2)
+    spec = dm.build_spec(cfg)
+    params0 = dm.init_params(jax.random.PRNGKey(0), spec)
+    frozen_before = np.asarray(params0["conv1_1"]["w"]).copy()
+    head_before = np.asarray(params0["head"]["w"]).copy()
+
+    tc = tg.from_cfg(cfg)
+    step = train_loop.make_train_step(
+        spec, tc, mesh, iter_size=1, weight_decay=0.0005)
+    loaders = [train_loop.RoIDataLoader(roidb, rank=r) for r in range(2)]
+    samples = [loaders[r].get_minibatch(0) for r in range(2)]
+    batch, im_idx, bucket = train_loop.assemble_batch(
+        samples, 2, 1, [8])
+    momentum = solver.init_momentum(params0)
+    p1, m1, metrics = step(
+        params0, momentum, jnp.float32(0.01),
+        jnp.asarray(batch["data"]), jnp.asarray(batch["gt"]),
+        jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
+        jnp.asarray(batch["valid_hw"]))
+    np.testing.assert_array_equal(np.asarray(p1["conv1_1"]["w"]),
+                                  frozen_before)
+    assert np.abs(np.asarray(p1["head"]["w"]) - head_before).max() > 0
+    assert np.isfinite(float(metrics["cls_loss"].mean()))
+    assert metrics["easy"].shape == (2, 1)
+
+
+def test_train_loss_decreases(tmp_path, train_cfg):
+    """Overfitting smoke: on a fixed tiny set the cls loss must trend down."""
+    roidb = _tiny_roidb(tmp_path, n=2)
+    mesh = make_mesh(2)
+    out_dir = str(tmp_path / "out3")
+    os.makedirs(out_dir, exist_ok=True)
+    losses = []
+    old = cfg.TRAIN.LR.BASELR
+    cfg.TRAIN.LR.BASELR = 0.002
+    try:
+        train_loop.train_net(
+            roidb, out_dir, pretrained_model=None, max_iter=12, mesh=mesh,
+            progress_hook=lambda it, m: losses.append(
+                float(m["cls_loss"].mean()) + float(m["reg_loss"].mean())))
+    finally:
+        cfg.TRAIN.LR.BASELR = old
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert last < first, f"loss did not decrease: {losses}"
