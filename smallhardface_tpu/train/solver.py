@@ -18,6 +18,8 @@ _apply_mult_lr). Momentum state ("history") is checkpointed like
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +40,18 @@ def learning_rate(iteration, cfg):
 
 def init_momentum(params):
     return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+def init_state(params, solver_type="SGD"):
+    """Optimizer state for any solver in the family. SGD/Nesterov keep one
+    momentum slot; Adam/AdaDelta/RMSProp variants keep two."""
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    if solver_type in ("SGD", "NESTEROV", "ADAGRAD", "RMSPROP"):
+        return {"h1": zeros}
+    if solver_type in ("ADAM", "ADADELTA"):
+        return {"h1": zeros,
+                "h2": jax.tree_util.tree_map(jnp.zeros_like, params)}
+    raise NotImplementedError(f"Unknown solver type: {solver_type}")
 
 
 def sgd_update(params, grads, momentum_state, *, rate, lr_mults, decay_mults,
@@ -68,3 +82,67 @@ def sgd_update(params, grads, momentum_state, *, rate, lr_mults, decay_mults,
         new_v.append(vn)
     return (jax.tree_util.tree_unflatten(treedef, new_w),
             jax.tree_util.tree_unflatten(treedef, new_v))
+
+
+def apply_update(params, grads, state, *, solver_type="SGD", rate,
+                 lr_mults, decay_mults, weight_decay, momentum=0.9,
+                 iteration=0, adam_beta1=0.9, adam_beta2=0.999,
+                 delta=1e-8, rms_decay=0.99):
+    """Generic per-parameter update for the Caffe solver family
+    (/root/reference/caffe/src/caffe/solvers/*.cpp). L2 regularization is
+    always folded into the gradient first (decay_mult-scaled), like
+    SGDSolver::Regularize. Returns (params, state)."""
+
+    def per_leaf(w, g, h1, h2, lm, dm):
+        if lm == 0.0:
+            return w, h1, h2
+        lr = rate * lm
+        g = g + weight_decay * dm * w
+        if solver_type == "SGD":
+            v = momentum * h1 + lr * g
+            return w - v, v, h2
+        if solver_type == "NESTEROV":
+            # nesterov_solver.cpp: v' = mu*v + lr*g; update = (1+mu)v' - mu*v
+            v = momentum * h1 + lr * g
+            upd = (1 + momentum) * v - momentum * h1
+            return w - upd, v, h2
+        if solver_type == "ADAGRAD":
+            h = h1 + g * g
+            return w - lr * g / (jnp.sqrt(h) + delta), h, h2
+        if solver_type == "RMSPROP":
+            h = rms_decay * h1 + (1 - rms_decay) * g * g
+            return w - lr * g / (jnp.sqrt(h) + delta), h, h2
+        if solver_type == "ADADELTA":
+            h = momentum * h1 + (1 - momentum) * g * g
+            upd = g * jnp.sqrt((h2 + delta) / (h + delta))
+            h2n = momentum * h2 + (1 - momentum) * upd * upd
+            return w - lr * upd, h, h2n
+        if solver_type == "ADAM":
+            # adam_solver.cpp: t = iter + 1
+            t = iteration + 1
+            m = adam_beta1 * h1 + (1 - adam_beta1) * g
+            v = adam_beta2 * h2 + (1 - adam_beta2) * g * g
+            corr = (jnp.sqrt(1.0 - adam_beta2 ** t) /
+                    (1.0 - adam_beta1 ** t))
+            return (w - lr * corr * m / (jnp.sqrt(v) + delta), m, v)
+        raise NotImplementedError(f"Unknown solver type: {solver_type}")
+
+    flat_w, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_h1 = treedef.flatten_up_to(state["h1"])
+    flat_h2 = (treedef.flatten_up_to(state["h2"])
+               if "h2" in state else [None] * len(flat_w))
+    flat_lm = treedef.flatten_up_to(lr_mults)
+    flat_dm = treedef.flatten_up_to(decay_mults)
+    ws, h1s, h2s = [], [], []
+    for w, g, h1, h2, lm, dm in zip(flat_w, flat_g, flat_h1, flat_h2,
+                                    flat_lm, flat_dm):
+        wn, h1n, h2n = per_leaf(w, g, h1, h2, lm, dm)
+        ws.append(wn)
+        h1s.append(h1n)
+        h2s.append(h2n)
+    unf = functools.partial(jax.tree_util.tree_unflatten, treedef)
+    new_state = {"h1": unf(h1s)}
+    if "h2" in state:
+        new_state["h2"] = unf(h2s)
+    return unf(ws), new_state

@@ -25,6 +25,7 @@ import logging
 import math
 import os
 import os.path as osp
+import signal
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -257,6 +258,28 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
 
     snapshot_prefix = cfg.NAME if cfg.TRAIN.SNAPSHOT_INFIX == "" else \
         f"{cfg.NAME}_{cfg.TRAIN.SNAPSHOT_INFIX}"
+
+    # Signal-driven actions, polled once per iteration like the reference
+    # solver loop (caffe/src/caffe/util/signal_handler.cpp:10-95,
+    # solver.cpp:253-266): SIGINT → snapshot + stop, SIGHUP → snapshot.
+    actions = {"stop": False, "snapshot": False}
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        if signum == signal.SIGINT:
+            actions["stop"] = True
+            logger.warning("SIGINT received: stopping after this iteration "
+                           "(snapshot will be written)")
+        else:
+            actions["snapshot"] = True
+            logger.warning("SIGHUP received: snapshot at next iteration")
+
+    try:
+        for sig in (signal.SIGINT, signal.SIGHUP):
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+    except ValueError:
+        prev_handlers = {}   # not on the main thread (e.g. under pytest)
+
     t = Timer()
     prefetch = ThreadPoolExecutor(max_workers=1)
     pending = prefetch.submit(build_batch, start_iter)
@@ -284,7 +307,11 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                     d, _ = divmod(k, iter_size)
                     loaders[d].mark_easy(im_idx[k])
 
-        if it1 % int(cfg.TRAIN.SNAPSHOT) == 0 or it1 == max_iter:
+        want_snapshot = (it1 % int(cfg.TRAIN.SNAPSHOT) == 0
+                         or it1 == max_iter or actions["snapshot"]
+                         or actions["stop"])
+        if want_snapshot:
+            actions["snapshot"] = False
             fname = osp.join(output_dir,
                              f"{snapshot_prefix}_iter_{it1}.npz")
             checkpoint.save(fname, jax.device_get(params),
@@ -317,7 +344,12 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             tb.sess.add_scalar_value("ETA (min)", eta / 60.0, step=it1)
         if progress_hook is not None:
             progress_hook(it1, metrics)
+        if actions["stop"]:
+            logger.warning("Stopping at iteration %d on signal", it1)
+            break
 
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     prefetch.shutdown(wait=False)
     logger.info("done solving!")
     return params
