@@ -82,8 +82,16 @@ def main():
     n_chips = jax.local_device_count()
     t0 = time.time()
     n_done = 0
+    pending = None
+    # depth-2 pipeline, same pattern as test_runner.inference_worker
     for im in imgs:
-        det.detect(im, thresh=0.05)
+        handle = det.detect_async(im)
+        if pending is not None:
+            det.finalize_async(pending, thresh=0.05)
+            n_done += 1
+        pending = handle
+    if pending is not None:
+        det.finalize_async(pending, thresh=0.05)
         n_done += 1
     elapsed = time.time() - t0
     img_per_sec = n_done / elapsed

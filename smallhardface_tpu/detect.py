@@ -144,6 +144,141 @@ class TPUDetector:
         self._compiled_dev[key] = fn
         return fn
 
+    def _pyramid_program(self, key):
+        """One fused program running EVERY pyramid level (+flip batch) from
+        the single uploaded raw image — one dispatch and one readback per
+        image instead of one per level. key = (H0b, W0b,
+        ((hb, wb), ...per level), flip)."""
+        if key in self._compiled_dev:
+            return self._compiled_dev[key]
+        H0b, W0b, level_buckets, flip = key
+        spec = self.spec
+        cd = self.compute_dtype
+        mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
+
+        def run(params, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
+                score_thresh):
+            # per-level traced scalars arrive as stacked (L,) arrays
+            img = raw_u8.astype(jnp.float32)
+            outs = []
+            for li, (hb, wb) in enumerate(level_buckets):
+                sc = 1.0 / inv_fx[li]
+                resized = jax.image.scale_and_translate(
+                    img, (hb, wb, 3), (0, 1),
+                    scale=jnp.stack([sc, sc]),
+                    translation=jnp.zeros((2,), jnp.float32),
+                    method="linear", antialias=False)
+                resized = resized - mean
+                ys = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+                xs = lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+                valid = ((ys < h_s[li]) & (xs < w_s[li]))[..., None]
+                resized = jnp.where(valid, resized, 0.0)
+                ims = [resized]
+                if flip:
+                    idx = jnp.clip(w_s[li] - 1 - jnp.arange(wb), 0, wb - 1)
+                    mirrored = jnp.take(resized, idx, axis=1)
+                    ims.append(jnp.where(valid, mirrored, 0.0))
+                x = jnp.stack(ims, axis=0)
+                out = detector_mod.forward(params, x, spec,
+                                           compute_dtype=cd)
+                outs.append(self._decode_batch(
+                    out, h_s[li].astype(jnp.float32),
+                    w_s[li].astype(jnp.float32),
+                    valid_h[li], valid_w[li],
+                    jnp.float32(0.0), score_thresh))
+            return outs
+
+        fn = jax.jit(run)
+        self._compiled_dev[key] = fn
+        return fn
+
+    def detect_async(self, im, score_thresh=None):
+        """Upload + dispatch the fused pyramid program for one image.
+        Returns an opaque handle for finalize_async (results stay on
+        device until then, so dispatch overlaps host work)."""
+        if isinstance(im, str):
+            im = cv2.imread(im)
+        h0, w0 = im.shape[:2]
+        scales = list(cfg.TEST.SCALES)
+        if len(scales) == 1:
+            pyramid_scales = [
+                compute_scaling_factor(im.shape, scales[0],
+                                       cfg.TEST.MAX_SIZE)
+            ]
+        else:
+            base_scale = compute_scaling_factor(
+                im.shape, cfg.TEST.PYRAMID_BASE_SIZE[0],
+                cfg.TEST.PYRAMID_BASE_SIZE[1])
+            pyramid_scales = [
+                float(s) / cfg.TEST.PYRAMID_BASE_SIZE[0] * base_scale
+                for s in scales
+            ]
+        bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
+        H0b = _round_up(h0, bucket)
+        W0b = _round_up(w0, bucket)
+        padded = np.pad(im, ((0, H0b - h0), (0, W0b - w0), (0, 0)),
+                        mode="edge")
+        raw = jnp.asarray(padded)
+        if self.device is not None:
+            raw = jax.device_put(raw, self.device)
+
+        hs_l, ws_l, vh_l, vw_l, buckets = [], [], [], [], []
+        for scale in pyramid_scales:
+            h_s = int(round(h0 * scale))
+            w_s = int(round(w0 * scale))
+            hs_l.append(h_s)
+            ws_l.append(w_s)
+            vh_l.append(_round_up(h_s, cfg.MAX_RESOLUTION)
+                        // detector_mod.FEAT_STRIDE)
+            vw_l.append(_round_up(w_s, cfg.MAX_RESOLUTION)
+                        // detector_mod.FEAT_STRIDE)
+            buckets.append((
+                _round_up(max(h_s, cfg.MAX_RESOLUTION), bucket),
+                _round_up(max(w_s, cfg.MAX_RESOLUTION), bucket)))
+        key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP))
+        fn = self._pyramid_program(key)
+        outs = fn(
+            self.params, raw,
+            jnp.asarray([1.0 / s for s in pyramid_scales], jnp.float32),
+            jnp.asarray(hs_l, jnp.int32), jnp.asarray(ws_l, jnp.int32),
+            jnp.asarray(vh_l, jnp.int32), jnp.asarray(vw_l, jnp.int32),
+            jnp.float32(score_thresh if score_thresh is not None
+                        else cfg.TEST.SCORE_THRESH))
+        return {"outs": outs, "scales": pyramid_scales, "ws": ws_l}
+
+    def finalize_async(self, handle, thresh=0.05):
+        """Read back one image's device results and run the host-side
+        merge + vote. Returns cls_dets like detect()."""
+        all_boxes, all_scores = [], []
+        for (boxes, scores, counts), w_s, scale in zip(
+                handle["outs"], handle["ws"], handle["scales"]):
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            counts = np.asarray(counts)
+            for i in range(boxes.shape[0]):
+                n = int(counts[i])
+                bx = boxes[i, :n].astype(np.float64)
+                sc = scores[i, :n].astype(np.float64)
+                if i == 1:
+                    x1 = w_s - bx[:, 2]
+                    x2 = w_s - bx[:, 0]
+                    bx[:, 0], bx[:, 2] = x1, x2
+                bx /= scale
+                all_boxes.append(bx)
+                all_scores.append(sc)
+        probs = np.concatenate(all_scores)
+        boxes = np.concatenate(all_boxes)
+        inds = np.where(probs > thresh)[0]
+        dets = np.hstack(
+            (boxes[inds], probs[inds, None])).astype(np.float32)
+        if cfg.TEST.NMS_METHOD == "BBOX_VOTE":
+            return [nms_host.bbox_vote(dets, cfg.TEST.NMS_THRESH)]
+        elif cfg.TEST.NMS_METHOD == "NMS":
+            keep = nms_host.nms(dets, cfg.TEST.NMS_THRESH)
+            return [dets[keep, :]]
+        raise NotImplementedError(
+            f"Unknown NMS method: {cfg.TEST.NMS_METHOD}")
+
     def run_pyramid_level(self, raw_u8_dev, h0, w0, scale,
                           score_thresh=None):
         """Device-preproc path for one pyramid level. raw_u8_dev is the
@@ -230,8 +365,18 @@ class TPUDetector:
             timers = {"detect": Timer(), "misc": Timer()}
         if isinstance(im, str):
             im = cv2.imread(im)
-        timers["detect"].tic()
 
+        if not self.host_preproc:
+            # fused whole-pyramid device path: one dispatch + one readback
+            timers["detect"].tic()
+            handle = self.detect_async(im)
+            timers["detect"].toc()
+            timers["misc"].tic()
+            cls_dets = self.finalize_async(handle, thresh)
+            timers["misc"].toc()
+            return cls_dets, timers
+
+        timers["detect"].tic()
         scales = list(cfg.TEST.SCALES)
         if len(scales) == 1:
             # single-scale: short side → SCALES[0] capped at MAX_SIZE
@@ -264,36 +409,21 @@ class TPUDetector:
                 all_boxes.append(bx)
                 all_scores.append(sc)
 
-        if self.host_preproc:
-            im_f = im.astype(np.float32) - np.asarray(
-                cfg.PIXEL_MEANS, dtype=np.float32)
-            for scale in pyramid_scales:
-                if scale == 1.0:
-                    resized = im_f
-                else:
-                    resized = cv2.resize(im_f, None, None, fx=scale,
-                                         fy=scale,
-                                         interpolation=cv2.INTER_LINEAR)
-                h, w = resized.shape[:2]
-                ims = [resized]
-                if cfg.TEST.FLIP:
-                    ims.append(resized[:, ::-1])
-                boxes, scores, counts = self.forward_scale(ims, h, w)
-                collect(boxes, scores, counts, w, scale)
-        else:
-            h0, w0 = im.shape[:2]
-            bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
-            H0b = _round_up(h0, bucket)
-            W0b = _round_up(w0, bucket)
-            padded = np.pad(im, ((0, H0b - h0), (0, W0b - w0), (0, 0)),
-                            mode="edge")
-            raw = jnp.asarray(padded)     # one uint8 upload per image
-            if self.device is not None:
-                raw = jax.device_put(raw, self.device)
-            for scale in pyramid_scales:
-                boxes, scores, counts, h_s, w_s = self.run_pyramid_level(
-                    raw, h0, w0, scale)
-                collect(boxes, scores, counts, w_s, scale)
+        im_f = im.astype(np.float32) - np.asarray(
+            cfg.PIXEL_MEANS, dtype=np.float32)
+        for scale in pyramid_scales:
+            if scale == 1.0:
+                resized = im_f
+            else:
+                resized = cv2.resize(im_f, None, None, fx=scale,
+                                     fy=scale,
+                                     interpolation=cv2.INTER_LINEAR)
+            h, w = resized.shape[:2]
+            ims = [resized]
+            if cfg.TEST.FLIP:
+                ims.append(resized[:, ::-1])
+            boxes, scores, counts = self.forward_scale(ims, h, w)
+            collect(boxes, scores, counts, w, scale)
 
         probs = np.concatenate(all_scores)
         boxes = np.concatenate(all_boxes)

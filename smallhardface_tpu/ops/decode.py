@@ -45,7 +45,8 @@ def dense_anchor_grid(h, w, base_anchors, feat_stride):
 
 def decode_proposals(fg_scores, bbox_deltas, base_anchors, *,
                      feat_stride, im_h, im_w, valid_h, valid_w,
-                     score_thresh, min_size, capacity):
+                     score_thresh, min_size, capacity,
+                     refine_deltas=None, anchor_strides=None):
     """Decode one image's proposals.
 
     fg_scores: (h, w, A) foreground probabilities
@@ -53,16 +54,33 @@ def decode_proposals(fg_scores, bbox_deltas, base_anchors, *,
     im_h/im_w: float scalars — unpadded image extent for clipping
     valid_h/valid_w: int scalars — valid grid extent (ceil16(im)/stride)
     min_size: float scalar (already scaled by im_scale)
+    refine_deltas: optional list of (h, w, A, 4) cascade refinement deltas,
+      applied in order after the base decode with the reference's x2/y2
+      compensation (proposal_layer.py:147-155)
+    anchor_strides: optional (A,) ints — per-anchor sub-grid striding for
+      multi-stride anchor sets (proposal_layer.py:160-169); anchors of
+      stride s live only at grid positions divisible by s
     Returns (boxes (capacity, 4), scores (capacity,), n_keep scalar int32).
     """
     h, w, A = fg_scores.shape
     anchors = dense_anchor_grid(h, w, np.asarray(base_anchors), feat_stride)
     boxes = bbox_jax.bbox_transform_inv(anchors, bbox_deltas)
+    if refine_deltas is not None:
+        for rd in refine_deltas:
+            # compensate the +1 width/height the encode/decode asymmetry
+            # introduces between cascade stages (proposal_layer.py:147-151)
+            boxes = boxes.at[..., 2:4].add(-1.0)
+            boxes = bbox_jax.bbox_transform_inv(boxes, rd)
     boxes = bbox_jax.clip_boxes(boxes, im_h, im_w)
 
     gy = lax.broadcasted_iota(jnp.int32, (h, w, A), 0)
     gx = lax.broadcasted_iota(jnp.int32, (h, w, A), 1)
     grid_ok = (gy < valid_h) & (gx < valid_w)
+    if anchor_strides is not None:
+        strides = jnp.asarray(np.asarray(anchor_strides, np.int32))
+        sub_ok = ((gy % strides[None, None, :]) == 0) & \
+                 ((gx % strides[None, None, :]) == 0)
+        grid_ok = grid_ok & sub_ok
 
     ws = boxes[..., 2] - boxes[..., 0] + 1
     hs = boxes[..., 3] - boxes[..., 1] + 1

@@ -44,13 +44,16 @@ def _load_params(spec):
 
 
 def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
+    """Per-device worker with a depth-2 pipeline: image i+1 is uploaded and
+    dispatched while image i's results are read back and voted on the host
+    (the async-dispatch analog of the reference's prefetching data layers)."""
     det = TPUDetector(params, spec, device=device)
     timers = {"detect": Timer(), "misc": Timer()}
     dets = [[[] for _ in range(start, end)]
             for _ in range(imdb.num_classes)]
-    for i in range(start, end):
-        im_path = imdb.image_path_at(i)
-        dets_, _ = det.detect(im_path, thresh, timers=timers)
+    pipelined = not det.host_preproc
+
+    def store(i, dets_):
         for c in range(imdb.num_classes - 1):
             dets[c + 1][i - start] = dets_[c]
         if rank == 0 and (i - start) % 20 == 0:
@@ -64,6 +67,25 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
                 timers["misc"].average_time, (total - done) * avg)
             tb.sess.add_scalar_value(
                 "detect-time", timers["detect"].average_time, step=i - start)
+
+    if pipelined:
+        pending = None      # (image index, device handle)
+        for i in range(start, end):
+            timers["detect"].tic()
+            handle = det.detect_async(imdb.image_path_at(i))
+            timers["detect"].toc()
+            if pending is not None:
+                timers["misc"].tic()
+                store(pending[0], det.finalize_async(pending[1], thresh))
+                timers["misc"].toc()
+            pending = (i, handle)
+        if pending is not None:
+            store(pending[0], det.finalize_async(pending[1], thresh))
+    else:
+        for i in range(start, end):
+            dets_, _ = det.detect(imdb.image_path_at(i), thresh,
+                                  timers=timers)
+            store(i, dets_)
     return rank, dets
 
 

@@ -182,8 +182,9 @@ class RoIDataLoader:
         """Build one training sample at the given scale index. Returns a
         dict: data (H, W, 3) float32 (unpadded), gt_boxes (G, 5),
         im_idx, height, width."""
-        assert cfg.TRAIN.SCALES.MODE == "SHORT_SIDE", \
-            f"Unknown TRAIN.SCALES.MODE: {cfg.TRAIN.SCALES.MODE}"
+        mode = cfg.TRAIN.SCALES.MODE
+        assert mode in ("SHORT_SIDE", "FACE_AREA"), \
+            f"Unknown TRAIN.SCALES.MODE: {mode}"
         idx = self._next_index()
         entry = self._roidb[idx]
         im = cv2.imread(entry["image"])
@@ -202,7 +203,17 @@ class RoIDataLoader:
         if cfg.TRAIN.ORIG_SIZE:
             im_scale = 1.0
         else:
-            im_scale = float(target_size) / size_min
+            if mode == "SHORT_SIDE":
+                im_scale = float(target_size) / size_min
+            else:
+                # FACE_AREA: median face area → target (blob.py:54-55)
+                b = entry["boxes"]
+                face_median = float(np.median(
+                    (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])))
+                if not np.isfinite(face_median) or face_median == 0:
+                    im_scale = 1.0
+                else:
+                    im_scale = float(np.sqrt(target_size / face_median))
             if np.round(im_scale * size_max) > cfg.TRAIN.SCALES.MAX_SIZE:
                 im_scale = float(cfg.TRAIN.SCALES.MAX_SIZE) / size_max
         im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,

@@ -219,6 +219,10 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     """Train the detector; snapshots + final weights land in output_dir."""
     spec = detector_mod.build_spec(cfg)
     tc = targets_mod.from_cfg(cfg)
+    if mesh is None and cfg.PDB:
+        # PDB debugging mode: single device, like the reference's forced
+        # single-GPU unforked training (configs/default.toml:12)
+        mesh = make_mesh(1)
     mesh = mesh or make_mesh(int(cfg.TPU.NUM_DEVICES))
     n_dev = mesh.devices.size
     iter_size = int(cfg.TRAIN.ITERSIZE)

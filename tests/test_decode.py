@@ -86,6 +86,45 @@ def test_decode_bucket_padding_invariant(rng):
                                rtol=1e-6)
 
 
+def test_decode_cascade_refinement(rng):
+    """Cascade deltas apply after the base decode with the -1 x2/y2
+    compensation (proposal_layer.py:147-155)."""
+    h, w = 3, 4
+    fg = rng.uniform(0.4, 1, (h, w, 3)).astype(np.float32)
+    d0 = (rng.randn(h, w, 3, 4) * 0.2).astype(np.float32)
+    d1 = (rng.randn(h, w, 3, 4) * 0.1).astype(np.float32)
+    big = 1e6  # disable clipping effects
+    boxes, scores, n = decode.decode_proposals(
+        jnp.asarray(fg), jnp.asarray(d0), BASE, feat_stride=8,
+        im_h=big, im_w=big, valid_h=h, valid_w=w,
+        score_thresh=0.0, min_size=0.0, capacity=h * w * 3,
+        refine_deltas=[jnp.asarray(d1)])
+    dense = anchors.dense_anchors(h, w, 8, BASE)
+    p = bbox_np.bbox_transform_inv(dense.astype(np.float64),
+                                   d0.reshape(-1, 4).astype(np.float64))
+    p[:, 2:4] -= 1
+    p = bbox_np.bbox_transform_inv(p, d1.reshape(-1, 4).astype(np.float64))
+    p = bbox_np.clip_boxes(p, (big, big))
+    order = np.argsort(-fg.reshape(-1), kind="stable")
+    np.testing.assert_allclose(np.asarray(boxes), p[order],
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_decode_subsampled_strides(rng):
+    """Per-anchor sub-grid striding keeps anchor k only at positions
+    divisible by its stride (proposal_layer.py:160-169)."""
+    h, w = 8, 8
+    fg = np.full((h, w, 3), 0.9, np.float32)
+    deltas = np.zeros((h, w, 3, 4), np.float32)
+    boxes, scores, n = decode.decode_proposals(
+        jnp.asarray(fg), jnp.asarray(deltas), BASE, feat_stride=8,
+        im_h=1e6, im_w=1e6, valid_h=h, valid_w=w,
+        score_thresh=0.5, min_size=0.0, capacity=h * w * 3,
+        anchor_strides=[1, 2, 4])
+    # anchors kept: 64 at stride 1, 16 at stride 2, 4 at stride 4
+    assert int(n) == 64 + 16 + 4
+
+
 def test_detect_end_to_end_smoke():
     from smallhardface_tpu.config import cfg
     from smallhardface_tpu.detect import TPUDetector

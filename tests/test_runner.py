@@ -1,0 +1,102 @@
+"""test_net orchestration: device sharding, caching, demo mode."""
+
+import os
+import pickle
+
+import numpy as np
+import cv2
+import jax
+import pytest
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu import test_runner
+
+
+class FakeImdb:
+    def __init__(self, paths):
+        self._paths = paths
+        self._classes = ["bg", "face"]
+        self.evaluated = None
+
+    def __len__(self):
+        return len(self._paths)
+
+    @property
+    def num_classes(self):
+        return 2
+
+    @property
+    def name(self):
+        return "fake"
+
+    def image_path_at(self, i):
+        return self._paths[i]
+
+    def evaluate_detections(self, all_boxes, output_dir=None,
+                            method_name="x", step=0):
+        self.evaluated = all_boxes
+        return "ok"
+
+
+@pytest.fixture
+def tiny_test_cfg(tmp_path):
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TEST.N_DETS_PER_MODULE, cfg.TEST.MODEL)
+    cfg.TEST.SCALES = [50, 90]
+    cfg.TEST.FLIP = True
+    cfg.TPU.TEST_BUCKET = 64
+    cfg.TEST.N_DETS_PER_MODULE = 100
+    cfg.TEST.MODEL = ""
+    yield
+    (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+     cfg.TEST.N_DETS_PER_MODULE, cfg.TEST.MODEL) = old
+
+
+def _images(tmp_path, n):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(n):
+        im = rng.randint(0, 255, (70, 90, 3), dtype=np.uint8)
+        p = str(tmp_path / f"t{i}.jpg")
+        cv2.imwrite(p, im)
+        paths.append(p)
+    return paths
+
+
+def test_test_net_shards_and_caches(tmp_path, tiny_test_cfg):
+    imdb = FakeImdb(_images(tmp_path, 5))
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    result = test_runner.test_net(imdb, out, thresh=0.05, no_cache=False,
+                                  params=params, spec=spec)
+    assert result == "ok"
+    assert len(imdb.evaluated[1]) == 5
+    for d in imdb.evaluated[1]:
+        assert d.ndim == 2 and d.shape[1] == 5
+    # cache written and reused
+    cache = os.path.join(out, "detections.pkl")
+    assert os.path.exists(cache)
+    with open(cache, "rb") as f:
+        cached = pickle.load(f)
+    imdb2 = FakeImdb(imdb._paths)
+    test_runner.test_net(imdb2, out, thresh=0.05, no_cache=False,
+                         params=params, spec=spec)
+    np.testing.assert_array_equal(imdb2.evaluated[1][0], cached[1][0])
+
+
+def test_demo_mode(tmp_path, tiny_test_cfg):
+    old = (cfg.TEST.DEMO.ENABLE, cfg.TEST.DEMO.IMAGE)
+    img = _images(tmp_path, 1)[0]
+    cfg.TEST.DEMO.ENABLE = True
+    cfg.TEST.DEMO.IMAGE = img
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(0), spec)
+        test_runner.test_net(None, str(tmp_path), thresh=0.05,
+                             params=params, spec=spec)
+        assert os.path.exists("/tmp/demo_res.jpg")
+    finally:
+        cfg.TEST.DEMO.ENABLE, cfg.TEST.DEMO.IMAGE = old
