@@ -16,7 +16,29 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 DATA_AXIS = "data"
 
 
+_distributed_initialized = False
+
+
+def maybe_init_distributed():
+    """Initialize multi-host JAX when launched under a pod launcher
+    (env-driven, a no-op on single host). Exceeds reference parity — the
+    reference was single-node only (SURVEY.md §2.3) — but gives the same
+    train step DCN-spanning meshes for free: `jax.devices()` then returns
+    the global device set and the psum rides ICI within each slice."""
+    import os
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        _distributed_initialized = True
+
+
 def make_mesh(num_devices: int = -1) -> Mesh:
+    maybe_init_distributed()
     devs = jax.devices()
     n = len(devs) if num_devices <= 0 else min(num_devices, len(devs))
     return Mesh(np.array(devs[:n]), (DATA_AXIS,))

@@ -117,8 +117,22 @@ def anchor_targets(bg_prob, base_anchors, gt_boxes, gt_mask, *,
     # reference fallback: no anchors inside → use them all (:143-145)
     inside = jnp.where(inside.any(), inside, grid_ok)
 
-    max_iou, argmax_gt = bbox_jax.max_iou_chunked(
-        anchors, gt_boxes[:, :4], gt_mask, axis_name=axis_name)
+    use_pallas = False
+    if gt_boxes.shape[0] <= 512:
+        try:
+            import jax as _jax
+            use_pallas = _jax.default_backend() == "tpu"
+        except Exception:
+            use_pallas = False
+    if use_pallas:
+        # VMEM/SMEM-resident kernel — no HBM IoU slabs (ops/pallas_iou.py)
+        from smallhardface_tpu.ops.pallas_iou import pallas_max_iou
+        max_iou, argmax_gt = pallas_max_iou(
+            anchors.astype(jnp.float32), gt_boxes[:, :4], gt_mask,
+            vma=(axis_name,) if axis_name else None)
+    else:
+        max_iou, argmax_gt = bbox_jax.max_iou_chunked(
+            anchors, gt_boxes[:, :4], gt_mask, axis_name=axis_name)
     gt_cls = jnp.where(gt_mask, gt_boxes[:, 4], 0.0)
 
     labels = jnp.full((n,), -1.0)
