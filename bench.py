@@ -80,18 +80,18 @@ def main():
           f"({n_prog} programs)", file=sys.stderr)
 
     n_chips = jax.local_device_count()
+    from collections import deque
     t0 = time.time()
     n_done = 0
-    pending = None
-    # depth-2 pipeline, same pattern as test_runner.inference_worker
+    pending = deque()
+    # depth-3 pipeline, same pattern as test_runner.inference_worker
     for im in imgs:
-        handle = det.detect_async(im)
-        if pending is not None:
-            det.finalize_async(pending, thresh=0.05)
+        pending.append(det.detect_async(im, thresh=0.05))
+        if len(pending) > 3:
+            det.finalize_async(pending.popleft(), thresh=0.05)
             n_done += 1
-        pending = handle
-    if pending is not None:
-        det.finalize_async(pending, thresh=0.05)
+    while pending:
+        det.finalize_async(pending.popleft(), thresh=0.05)
         n_done += 1
     elapsed = time.time() - t0
     img_per_sec = n_done / elapsed

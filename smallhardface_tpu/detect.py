@@ -156,11 +156,13 @@ class TPUDetector:
         cd = self.compute_dtype
         mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
 
+        merged_cap = int(cfg.TPU.MERGED_DET_CAP)
+
         def run(params, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
-                score_thresh):
+                score_thresh, final_thresh):
             # per-level traced scalars arrive as stacked (L,) arrays
             img = raw_u8.astype(jnp.float32)
-            outs = []
+            all_boxes, all_scores = [], []
             for li, (hb, wb) in enumerate(level_buckets):
                 sc = 1.0 / inv_fx[li]
                 resized = jax.image.scale_and_translate(
@@ -181,19 +183,45 @@ class TPUDetector:
                 x = jnp.stack(ims, axis=0)
                 out = detector_mod.forward(params, x, spec,
                                            compute_dtype=cd)
-                outs.append(self._decode_batch(
+                boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
                     valid_h[li], valid_w[li],
-                    jnp.float32(0.0), score_thresh))
-            return outs
+                    jnp.float32(0.0), score_thresh)
+                # device-side merge: back to original-image space; mask
+                # rows beyond each batch item's keep count
+                slot = jnp.arange(boxes.shape[1])
+                row_ok = slot[None, :] < counts[:, None]
+                if flip:
+                    ws_f = w_s[li].astype(jnp.float32)
+                    mx1 = ws_f - boxes[1, :, 2]
+                    mx2 = ws_f - boxes[1, :, 0]
+                    flipped = jnp.stack(
+                        [mx1, boxes[1, :, 1], mx2, boxes[1, :, 3]], axis=-1)
+                    boxes = jnp.stack([boxes[0], flipped], axis=0)
+                boxes = boxes * inv_fx[li]
+                scores = jnp.where(row_ok, scores, -jnp.inf)
+                all_boxes.append(boxes.reshape(-1, 4))
+                all_scores.append(scores.reshape(-1))
+            cat_boxes = jnp.concatenate(all_boxes, axis=0)
+            cat_scores = jnp.concatenate(all_scores, axis=0)
+            # final host-level threshold (strictly greater, lib/test.py:163)
+            sortable = jnp.where(cat_scores > final_thresh, cat_scores,
+                                 -jnp.inf)
+            k = sortable.shape[0] if merged_cap <= 0 else \
+                min(merged_cap, sortable.shape[0])
+            top_scores, top_idx = lax.top_k(sortable, k)
+            n = jnp.minimum(jnp.sum(sortable > -jnp.inf), k)
+            return cat_boxes[top_idx], top_scores, n.astype(jnp.int32)
 
         fn = jax.jit(run)
         self._compiled_dev[key] = fn
         return fn
 
-    def detect_async(self, im, score_thresh=None):
+    def detect_async(self, im, thresh=0.05, score_thresh=None):
         """Upload + dispatch the fused pyramid program for one image.
+        `thresh` is the detect-level cut (probs > thresh,
+        lib/test.py:163) applied on device before the merged top-k.
         Returns an opaque handle for finalize_async (results stay on
         device until then, so dispatch overlaps host work)."""
         if isinstance(im, str):
@@ -237,40 +265,24 @@ class TPUDetector:
                 _round_up(max(w_s, cfg.MAX_RESOLUTION), bucket)))
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP))
         fn = self._pyramid_program(key)
-        outs = fn(
+        boxes, scores, n = fn(
             self.params, raw,
             jnp.asarray([1.0 / s for s in pyramid_scales], jnp.float32),
             jnp.asarray(hs_l, jnp.int32), jnp.asarray(ws_l, jnp.int32),
             jnp.asarray(vh_l, jnp.int32), jnp.asarray(vw_l, jnp.int32),
             jnp.float32(score_thresh if score_thresh is not None
-                        else cfg.TEST.SCORE_THRESH))
-        return {"outs": outs, "scales": pyramid_scales, "ws": ws_l}
+                        else cfg.TEST.SCORE_THRESH),
+            jnp.float32(thresh))
+        return {"boxes": boxes, "scores": scores, "n": n}
 
     def finalize_async(self, handle, thresh=0.05):
-        """Read back one image's device results and run the host-side
-        merge + vote. Returns cls_dets like detect()."""
-        all_boxes, all_scores = [], []
-        for (boxes, scores, counts), w_s, scale in zip(
-                handle["outs"], handle["ws"], handle["scales"]):
-            boxes = np.asarray(boxes)
-            scores = np.asarray(scores)
-            counts = np.asarray(counts)
-            for i in range(boxes.shape[0]):
-                n = int(counts[i])
-                bx = boxes[i, :n].astype(np.float64)
-                sc = scores[i, :n].astype(np.float64)
-                if i == 1:
-                    x1 = w_s - bx[:, 2]
-                    x2 = w_s - bx[:, 0]
-                    bx[:, 0], bx[:, 2] = x1, x2
-                bx /= scale
-                all_boxes.append(bx)
-                all_scores.append(sc)
-        probs = np.concatenate(all_scores)
-        boxes = np.concatenate(all_boxes)
-        inds = np.where(probs > thresh)[0]
-        dets = np.hstack(
-            (boxes[inds], probs[inds, None])).astype(np.float32)
+        """Read back one image's merged device results and run the host
+        vote. Returns cls_dets like detect(). (`thresh` was already
+        applied on device at dispatch.)"""
+        n = int(np.asarray(handle["n"]))
+        boxes = np.asarray(handle["boxes"])[:n].astype(np.float64)
+        probs = np.asarray(handle["scores"])[:n].astype(np.float64)
+        dets = np.hstack((boxes, probs[:, None])).astype(np.float32)
         if cfg.TEST.NMS_METHOD == "BBOX_VOTE":
             return [nms_host.bbox_vote(dets, cfg.TEST.NMS_THRESH)]
         elif cfg.TEST.NMS_METHOD == "NMS":
@@ -369,7 +381,7 @@ class TPUDetector:
         if not self.host_preproc:
             # fused whole-pyramid device path: one dispatch + one readback
             timers["detect"].tic()
-            handle = self.detect_async(im)
+            handle = self.detect_async(im, thresh)
             timers["detect"].toc()
             timers["misc"].tic()
             cls_dets = self.finalize_async(handle, thresh)

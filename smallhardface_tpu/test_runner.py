@@ -69,18 +69,22 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
                 "detect-time", timers["detect"].average_time, step=i - start)
 
     if pipelined:
-        pending = None      # (image index, device handle)
+        from collections import deque
+        depth = 3           # images in flight on the device
+        pending = deque()   # (image index, device handle)
         for i in range(start, end):
             timers["detect"].tic()
-            handle = det.detect_async(imdb.image_path_at(i))
+            handle = det.detect_async(imdb.image_path_at(i), thresh)
             timers["detect"].toc()
-            if pending is not None:
+            pending.append((i, handle))
+            if len(pending) > depth:
+                j, h = pending.popleft()
                 timers["misc"].tic()
-                store(pending[0], det.finalize_async(pending[1], thresh))
+                store(j, det.finalize_async(h, thresh))
                 timers["misc"].toc()
-            pending = (i, handle)
-        if pending is not None:
-            store(pending[0], det.finalize_async(pending[1], thresh))
+        while pending:
+            j, h = pending.popleft()
+            store(j, det.finalize_async(h, thresh))
     else:
         for i in range(start, end):
             dets_, _ = det.detect(imdb.image_path_at(i), thresh,

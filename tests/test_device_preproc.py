@@ -15,14 +15,19 @@ from smallhardface_tpu.detect import TPUDetector
 @pytest.fixture
 def small_cfg():
     old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
-           cfg.TEST.N_DETS_PER_MODULE, cfg.TPU.HOST_PREPROC)
+           cfg.TEST.N_DETS_PER_MODULE, cfg.TPU.HOST_PREPROC,
+           cfg.TPU.MERGED_DET_CAP)
     cfg.TEST.SCALES = [60, 110]
     cfg.TEST.FLIP = True
     cfg.TPU.TEST_BUCKET = 64
-    cfg.TEST.N_DETS_PER_MODULE = 300
+    # caps high enough that neither path truncates (random-weight inputs
+    # score ~0.5 everywhere, unlike trained models)
+    cfg.TEST.N_DETS_PER_MODULE = 5000
+    cfg.TPU.MERGED_DET_CAP = -1
     yield
     (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
-     cfg.TEST.N_DETS_PER_MODULE, cfg.TPU.HOST_PREPROC) = old
+     cfg.TEST.N_DETS_PER_MODULE, cfg.TPU.HOST_PREPROC,
+     cfg.TPU.MERGED_DET_CAP) = old
 
 
 def test_device_resize_matches_cv2():
