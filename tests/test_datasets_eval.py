@@ -169,6 +169,92 @@ def test_wider_dataset_roidb(tmp_path):
         cfg.DATA_DIR = old
 
 
+def test_wider_evaluate_detections_golden(tmp_path):
+    """Full dataset-eval path: wider.evaluate_detections writes per-image
+    txts, runs the WIDER protocol against fixture .mat gt, tars the
+    results, and reports AP ≈ 1 for predictions equal to gt."""
+    import cv2
+    import tarfile
+    from smallhardface_tpu.datasets.factory import get_imdb
+
+    # dataset files (val split) + matching .mat ground truth
+    data = tmp_path / "DATA"
+    (data / "wider_face_split").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    anno_lines = []
+    events, file_lists, bbx_lists, gt_lists = [], [], [], []
+    all_gt = {}
+    for e in range(EVENT_NUM):
+        ev = f"{e}--event{e}"
+        imgdir = data / "WIDER_val" / "images" / ev
+        imgdir.mkdir(parents=True)
+        name = f"img_{e}_0"
+        im = np.full((220, 320, 3), 127, np.uint8)
+        cv2.imwrite(str(imgdir / f"{name}.jpg"), im)
+        boxes = np.zeros((2, 4))
+        boxes[:, 0] = [20, 170]
+        boxes[:, 1] = rng.uniform(10, 60, 2)
+        boxes[:, 2] = rng.uniform(30, 60, 2)    # w
+        boxes[:, 3] = rng.uniform(30, 60, 2)    # h
+        all_gt[(ev, name)] = boxes
+        anno_lines.append(
+            f"{ev}/{name}.jpg\n2\n"
+            f"{boxes[0,0]:.0f} {boxes[0,1]:.0f} {boxes[0,2]:.0f} "
+            f"{boxes[0,3]:.0f} 0 0 0 0 0 0\n"
+            f"{boxes[1,0]:.0f} {boxes[1,1]:.0f} {boxes[1,2]:.0f} "
+            f"{boxes[1,3]:.0f} 0 0 0 0 0 0\n")
+        events.append(np.array([ev]))
+        file_lists.append(_cell([np.array([name])]))
+        bbx_lists.append(_cell([np.round(boxes)]))
+        gt_lists.append(_cell([np.arange(1, 3)[:, None]]))
+    with open(data / "wider_face_split" / "wider_face_val_bbx_gt.txt",
+              "w") as f:
+        f.writelines(anno_lines)
+    gt_mat = {
+        "event_list": _cell(events),
+        "file_list": _cell(file_lists),
+        "face_bbx_list": _cell(bbx_lists),
+        "gt_list": _cell(gt_lists),
+    }
+    (data / "ground_truth").mkdir()
+    sio.savemat(data / "ground_truth" / "wider_face_val.mat", gt_mat)
+    for s in ["easy_val", "medium_val", "hard_val"]:
+        sio.savemat(data / "ground_truth" / f"wider_{s}.mat", gt_mat)
+
+    old = cfg.DATA_DIR
+    cfg.DATA_DIR = str(data)
+    try:
+        imdb = get_imdb("wider_val")
+        assert len(imdb) == EVENT_NUM
+        # all_boxes[class][image] = (N, 5) [x1 y1 x2 y2 score] — perfect
+        # predictions matching the rounded gt
+        all_boxes = [[], []]
+        for e in range(EVENT_NUM):
+            ev = f"{e}--event{e}"
+            b = np.round(all_gt[(ev, f"img_{e}_0")])
+            dets = np.zeros((2, 5))
+            dets[:, 0] = b[:, 0]
+            dets[:, 1] = b[:, 1]
+            dets[:, 2] = b[:, 0] + b[:, 2]
+            dets[:, 3] = b[:, 1] + b[:, 3]
+            dets[:, 4] = [0.99, 0.98]
+            all_boxes[1].append(dets)
+        out = tmp_path / "out"
+        out.mkdir()
+        result = imdb.evaluate_detections(all_boxes, output_dir=str(out))
+        assert "Easy:" in result
+        for part in result.replace(",", "").split():
+            try:
+                v = float(part)
+            except ValueError:
+                continue
+            assert v > 0.99, result
+        with tarfile.open(out / "result.tar.gz") as tar:
+            assert any(m.name.endswith(".txt") for m in tar.getmembers())
+    finally:
+        cfg.DATA_DIR = old
+
+
 def test_factory_unknown_dataset():
     from smallhardface_tpu.datasets.factory import get_imdb
     with pytest.raises(KeyError):
