@@ -195,7 +195,12 @@ class RoIDataLoader:
         im = im.astype(np.float32)
         if cfg.TRAIN.AUGMENT.ENABLE:
             im = _distortion(im, self.rng)
-        im -= np.asarray(cfg.PIXEL_MEANS, dtype=np.float32)
+        # NOTE: pixel-mean subtraction happens ON DEVICE (train step), so
+        # the batch ships as uint8 (4× less host→device traffic). The
+        # reference subtracts before resizing (blob.py:45), but bilinear
+        # resize commutes with constant subtraction; the only deviation is
+        # ≤0.5-intensity rounding of the resized image, far below the
+        # photometric augmentation noise (brightness ±32).
 
         target_size = cfg.TRAIN.SCALES.SHORT_SIDE[scale_idx]
         size_min = min(im.shape[:2])
@@ -229,8 +234,10 @@ class RoIDataLoader:
             im, gt = _crop(im, gt, self.rng)
 
         entry.setdefault("seen_scale", []).append(im_scale)
+        data = np.ascontiguousarray(
+            np.clip(np.round(im), 0, 255), dtype=np.uint8)
         return {
-            "data": np.ascontiguousarray(im, dtype=np.float32),
+            "data": data,
             "gt_boxes": gt,
             "im_idx": idx,
             "height": im.shape[0],

@@ -85,8 +85,18 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
         strides=[detector_mod.FEAT_STRIDE] * 3)
     lr_mults, decay_mults = detector_mod.param_multipliers(spec)
 
+    pixel_mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
+
     def loss_fn(params, data, gt, gt_mask, im_hw, valid_hw):
-        out = detector_mod.forward(params, data[None], spec,
+        # batches arrive uint8; mean subtraction happens here on device.
+        # zero-padded regions become 0 after subtraction to match the
+        # reference's post-mean zero padding (minibatch.py:47-53).
+        x = data.astype(jnp.float32)
+        ys = lax.broadcasted_iota(jnp.int32, data.shape[:2], 0)
+        xs = lax.broadcasted_iota(jnp.int32, data.shape[:2], 1)
+        inside = ((ys[..., None] < im_hw[0]) & (xs[..., None] < im_hw[1]))
+        x = jnp.where(inside, x - pixel_mean, 0.0)
+        out = detector_mod.forward(params, x[None], spec,
                                    compute_dtype=compute_dtype)
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
@@ -171,7 +181,7 @@ def assemble_batch(samples, n_dev, iter_size, gt_buckets):
     gmax = max(max(s["gt_boxes"].shape[0] for s in samples), 1)
     gb = _snap_gt(gmax, gt_buckets)
 
-    data = np.zeros((n_dev, iter_size, hb, wb, 3), np.float32)
+    data = np.zeros((n_dev, iter_size, hb, wb, 3), np.uint8)
     gt = np.zeros((n_dev, iter_size, gb, 5), np.float32)
     gt_mask = np.zeros((n_dev, iter_size, gb), bool)
     im_hw = np.zeros((n_dev, iter_size, 2), np.float32)
