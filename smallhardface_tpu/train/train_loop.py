@@ -297,6 +297,11 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     t = Timer()
     prefetch = ThreadPoolExecutor(max_workers=1)
     pending = prefetch.submit(build_batch, start_iter)
+    # display-smoothed loss over the last 100 iterations, like the solver
+    # template's average_loss (models/solver_template.prototxt:7,
+    # caffe solver.cpp:474 UpdateSmoothedLoss)
+    from collections import deque
+    loss_window = deque(maxlen=100)
 
     for it in range(start_iter, max_iter):
         t.tic()
@@ -339,15 +344,19 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                     osp.join(output_dir, "final.caffemodel"),
                     jax.device_get(params))
 
+        loss_window.append(float(metrics["cls_loss"].mean()) +
+                           float(metrics["reg_loss"].mean()))
         if it1 % 20 == 0 or it1 == max_iter or it == start_iter:
             cls_l = float(metrics["cls_loss"].mean())
             reg_l = float(metrics["reg_loss"].mean())
+            smoothed = sum(loss_window) / len(loss_window)
             acc = float(metrics["accuracy"].mean())
             eta = int((max_iter - it1) * t.average_time)
             logger.info(
-                "iter %d/%d cls_loss: %.5f reg_loss: %.5f accuracy: %.5f "
+                "iter %d/%d cls_loss: %.5f reg_loss: %.5f "
+                "smoothed_loss: %.5f accuracy: %.5f "
                 "lr: %.2e bucket: %s speed: %.3f iter/s ETA: %s",
-                it1, max_iter, cls_l, reg_l, acc, rate, bucket,
+                it1, max_iter, cls_l, reg_l, smoothed, acc, rate, bucket,
                 1.0 / max(t.average_time, 1e-9),
                 str(datetime.timedelta(seconds=eta)))
             tb.sess.add_scalar_value("cls_loss", cls_l, step=it1)
