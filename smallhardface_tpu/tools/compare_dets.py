@@ -15,19 +15,24 @@ import pickle
 import numpy as np
 
 
-def match_rate(a, b, iou_thresh, score_tol):
-    """Fraction of detections in `a` with an IoU≥thresh partner in `b`
-    whose score agrees within tol."""
+def _one_way(a, b, iou_thresh, score_tol):
     from smallhardface_tpu.ops import bbox_np
-    if len(a) == 0:
-        return 1.0 if len(b) == 0 else 0.0
-    if len(b) == 0:
-        return 0.0
     iou = bbox_np.bbox_overlaps(a[:, :4], b[:, :4])
     best = iou.argmax(axis=1)
     ok = (iou[np.arange(len(a)), best] >= iou_thresh) & \
          (np.abs(a[:, 4] - b[best, 4]) <= score_tol)
     return float(ok.mean())
+
+
+def match_rate(a, b, iou_thresh, score_tol):
+    """Symmetric match rate: min over both directions, so both missing and
+    spurious detections lower the score."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    return min(_one_way(a, b, iou_thresh, score_tol),
+               _one_way(b, a, iou_thresh, score_tol))
 
 
 def main():
@@ -53,6 +58,9 @@ def main():
             count_a += len(a)
             count_b += len(b)
             rates.append(match_rate(a, b, args.iou, args.score_tol))
+        if not rates:
+            print(f"class {cls}: no images")
+            continue
         print(f"class {cls}: images {n_img}, dets {count_a} vs {count_b}, "
               f"mean match-rate {np.mean(rates):.4f}, "
               f"worst image {np.argmin(rates)} ({np.min(rates):.4f})")

@@ -13,6 +13,7 @@ import sys
 
 LINE_RE = re.compile(
     r"iter (\d+)/(\d+) cls_loss: ([\d.eE+-]+) reg_loss: ([\d.eE+-]+) "
+    r"(?:smoothed_loss: ([\d.eE+-]+) )?"
     r"accuracy: ([\d.eE+-]+) lr: ([\d.eE+-]+)"
     r".*?speed: ([\d.eE+-]+) iter/s")
 
@@ -23,12 +24,15 @@ def parse(path):
         for line in f:
             m = LINE_RE.search(line)
             if m:
-                it, total, cls_l, reg_l, acc, lr, speed = m.groups()
+                it, total, cls_l, reg_l, smoothed, acc, lr, speed = \
+                    m.groups()
                 rows.append({
                     "iteration": int(it),
                     "cls_loss": float(cls_l),
                     "reg_loss": float(reg_l),
                     "total_loss": float(cls_l) + float(reg_l),
+                    "smoothed_loss": (float(smoothed) if smoothed
+                                      else float(cls_l) + float(reg_l)),
                     "accuracy": float(acc),
                     "lr": float(lr),
                     "speed_iter_per_s": float(speed),
@@ -43,7 +47,7 @@ def main():
     rows = parse(sys.argv[1])
     out = sys.argv[2] if len(sys.argv) > 2 else None
     fields = ["iteration", "cls_loss", "reg_loss", "total_loss",
-              "accuracy", "lr", "speed_iter_per_s"]
+              "smoothed_loss", "accuracy", "lr", "speed_iter_per_s"]
     fp = open(out, "w", newline="") if out else sys.stdout
     writer = csv.DictWriter(fp, fieldnames=fields)
     writer.writeheader()

@@ -26,6 +26,7 @@ import math
 import os
 import os.path as osp
 import signal
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -300,7 +301,6 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     # display-smoothed loss over the last 100 iterations, like the solver
     # template's average_loss (models/solver_template.prototxt:7,
     # caffe solver.cpp:474 UpdateSmoothedLoss)
-    from collections import deque
     loss_window = deque(maxlen=100)
 
     for it in range(start_iter, max_iter):
