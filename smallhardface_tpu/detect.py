@@ -103,47 +103,6 @@ class TPUDetector:
 
         return jax.vmap(one)(probs, out["bbox_deltas"])
 
-    def _device_program(self, key):
-        """Fused preprocess+forward+decode for one pyramid level.
-        key = (H0b, W0b, hb, wb, flip)."""
-        if key in self._compiled_dev:
-            return self._compiled_dev[key]
-        H0b, W0b, hb, wb, flip = key
-        spec = self.spec
-        cd = self.compute_dtype
-        mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
-
-        def run(params, raw_u8, inv_fx, h_s, w_s, im_h, im_w,
-                valid_h, valid_w, min_size, score_thresh):
-            img = raw_u8.astype(jnp.float32)
-            # cv2-convention bilinear: out(o) = in((o + 0.5) * inv_fx - 0.5)
-            # → jax.image convention scale = 1/inv_fx, translation 0.
-            sc = 1.0 / inv_fx
-            resized = jax.image.scale_and_translate(
-                img, (hb, wb, 3), (0, 1),
-                scale=jnp.stack([sc, sc]),
-                translation=jnp.zeros((2,), jnp.float32),
-                method="linear", antialias=False)
-            resized = resized - mean
-            ys = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
-            xs = lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
-            valid = ((ys < h_s) & (xs < w_s))[..., None]
-            resized = jnp.where(valid, resized, 0.0)
-            ims = [resized]
-            if flip:
-                idx = jnp.clip(w_s - 1 - jnp.arange(wb), 0, wb - 1)
-                mirrored = jnp.take(resized, idx, axis=1)
-                mirrored = jnp.where(valid, mirrored, 0.0)
-                ims.append(mirrored)
-            x = jnp.stack(ims, axis=0)
-            out = detector_mod.forward(params, x, spec, compute_dtype=cd)
-            return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
-                                      min_size, score_thresh)
-
-        fn = jax.jit(run)
-        self._compiled_dev[key] = fn
-        return fn
-
     def _pyramid_program(self, key):
         """One fused program running EVERY pyramid level (+flip batch) from
         the single uploaded raw image — one dispatch and one readback per
@@ -181,8 +140,10 @@ class TPUDetector:
                     mirrored = jnp.take(resized, idx, axis=1)
                     ims.append(jnp.where(valid, mirrored, 0.0))
                 x = jnp.stack(ims, axis=0)
-                out = detector_mod.forward(params, x, spec,
-                                           compute_dtype=cd)
+                out = detector_mod.forward(
+                    params, x, spec, compute_dtype=cd,
+                    valid_hw=(valid_h[li] * detector_mod.FEAT_STRIDE,
+                              valid_w[li] * detector_mod.FEAT_STRIDE))
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
@@ -205,18 +166,81 @@ class TPUDetector:
                 all_scores.append(scores.reshape(-1))
             cat_boxes = jnp.concatenate(all_boxes, axis=0)
             cat_scores = jnp.concatenate(all_scores, axis=0)
+            total = cat_scores.shape[0]
             # final host-level threshold (strictly greater, lib/test.py:163)
-            sortable = jnp.where(cat_scores > final_thresh, cat_scores,
-                                 -jnp.inf)
-            k = sortable.shape[0] if merged_cap <= 0 else \
-                min(merged_cap, sortable.shape[0])
-            top_scores, top_idx = lax.top_k(sortable, k)
-            n = jnp.minimum(jnp.sum(sortable > -jnp.inf), k)
-            return cat_boxes[top_idx], top_scores, n.astype(jnp.int32)
+            keep = cat_scores > final_thresh
+            if merged_cap <= 0:
+                # no truncation (reference semantics): O(N) scatter
+                # compaction instead of a sort — the host vote re-sorts,
+                # so order is irrelevant, only the surviving SET matters
+                pos = jnp.where(keep, jnp.cumsum(keep) - 1, total)
+                rows = jnp.concatenate(
+                    [cat_boxes, cat_scores[:, None]], axis=1)
+                packed = jnp.zeros((total, 5), rows.dtype)
+                packed = packed.at[pos].set(rows, mode="drop")
+                n = keep.sum()
+            else:
+                sortable = jnp.where(keep, cat_scores, -jnp.inf)
+                k = min(merged_cap, total)
+                top_scores, top_idx = lax.top_k(sortable, k)
+                packed = jnp.concatenate(
+                    [cat_boxes[top_idx], top_scores[:, None]], axis=1)
+                n = jnp.minimum(keep.sum(), k)
+            return packed, n.astype(jnp.int32)
 
         fn = jax.jit(run)
         self._compiled_dev[key] = fn
         return fn
+
+    def _program(self, shape):
+        """Jitted forward+decode for a (B, H, W) padded shape (host-preproc
+        path)."""
+        if shape in self._compiled:
+            return self._compiled[shape]
+        spec = self.spec
+        cd = self.compute_dtype
+
+        def run(params, x, im_h, im_w, valid_h, valid_w, min_size,
+                score_thresh):
+            out = detector_mod.forward(
+                params, x, spec, compute_dtype=cd,
+                valid_hw=(valid_h * detector_mod.FEAT_STRIDE,
+                          valid_w * detector_mod.FEAT_STRIDE))
+            return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
+                                      min_size, score_thresh)
+
+        fn = jax.jit(run)
+        self._compiled[shape] = fn
+        return fn
+
+    def forward_scale(self, ims, im_h, im_w, score_thresh=None):
+        """Host-preproc path: run one pyramid level from already-resized,
+        mean-subtracted host images. ims: list of HWC float32 images of
+        identical (im_h, im_w) (e.g. [image, flipped image]). Returns
+        (boxes (B, cap, 4), scores (B, cap), counts (B,)) numpy."""
+        b = len(ims)
+        h16 = _round_up(im_h, cfg.MAX_RESOLUTION)
+        w16 = _round_up(im_w, cfg.MAX_RESOLUTION)
+        bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
+        hb = _round_up(h16, bucket)
+        wb = _round_up(w16, bucket)
+        x = np.zeros((b, hb, wb, 3), dtype=np.float32)
+        for i, im in enumerate(ims):
+            x[i, :im_h, :im_w] = im
+        fn = self._program((b, hb, wb))
+        xd = jnp.asarray(x)
+        if self.device is not None:
+            xd = jax.device_put(xd, self.device)
+        boxes, scores, counts = fn(
+            self.params, xd,
+            jnp.float32(im_h), jnp.float32(im_w),
+            jnp.int32(h16 // detector_mod.FEAT_STRIDE),
+            jnp.int32(w16 // detector_mod.FEAT_STRIDE),
+            jnp.float32(0.0),
+            jnp.float32(score_thresh if score_thresh is not None
+                        else cfg.TEST.SCORE_THRESH))
+        return (np.asarray(boxes), np.asarray(scores),
+                np.asarray(counts))
 
     def detect_async(self, im, thresh=0.05, score_thresh=None):
         """Upload + dispatch the fused pyramid program for one image.
@@ -265,7 +289,7 @@ class TPUDetector:
                 _round_up(max(w_s, cfg.MAX_RESOLUTION), bucket)))
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP))
         fn = self._pyramid_program(key)
-        boxes, scores, n = fn(
+        packed, n = fn(
             self.params, raw,
             jnp.asarray([1.0 / s for s in pyramid_scales], jnp.float32),
             jnp.asarray(hs_l, jnp.int32), jnp.asarray(ws_l, jnp.int32),
@@ -273,16 +297,20 @@ class TPUDetector:
             jnp.float32(score_thresh if score_thresh is not None
                         else cfg.TEST.SCORE_THRESH),
             jnp.float32(thresh))
-        return {"boxes": boxes, "scores": scores, "n": n}
+        return {"packed": packed, "n": n}
 
     def finalize_async(self, handle, thresh=0.05):
         """Read back one image's merged device results and run the host
         vote. Returns cls_dets like detect(). (`thresh` was already
-        applied on device at dispatch.)"""
+        applied on device at dispatch.) Only the first `n` rows transfer
+        to the host — the device slice keeps crowded-image readbacks
+        proportional to the detection count."""
         n = int(np.asarray(handle["n"]))
-        boxes = np.asarray(handle["boxes"])[:n].astype(np.float64)
-        probs = np.asarray(handle["scores"])[:n].astype(np.float64)
-        dets = np.hstack((boxes, probs[:, None])).astype(np.float32)
+        total = handle["packed"].shape[0]
+        # slice size rounded to 1024 so the on-device slice op compiles a
+        # bounded number of times while transfers stay ∝ detection count
+        k = min(_round_up(max(n, 1), 1024), total)
+        dets = np.asarray(handle["packed"][:k])[:n].astype(np.float32)
         if cfg.TEST.NMS_METHOD == "BBOX_VOTE":
             return [nms_host.bbox_vote(dets, cfg.TEST.NMS_THRESH)]
         elif cfg.TEST.NMS_METHOD == "NMS":
@@ -290,81 +318,6 @@ class TPUDetector:
             return [dets[keep, :]]
         raise NotImplementedError(
             f"Unknown NMS method: {cfg.TEST.NMS_METHOD}")
-
-    def run_pyramid_level(self, raw_u8_dev, h0, w0, scale,
-                          score_thresh=None):
-        """Device-preproc path for one pyramid level. raw_u8_dev is the
-        edge-padded uint8 original already on device. Returns
-        (boxes, scores, counts) numpy plus the resized (h_s, w_s)."""
-        h_s = int(round(h0 * scale))
-        w_s = int(round(w0 * scale))
-        bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
-        hb = _round_up(max(h_s, cfg.MAX_RESOLUTION), bucket)
-        wb = _round_up(max(w_s, cfg.MAX_RESOLUTION), bucket)
-        key = (raw_u8_dev.shape[0], raw_u8_dev.shape[1], hb, wb,
-               bool(cfg.TEST.FLIP))
-        fn = self._device_program(key)
-        h16 = _round_up(h_s, cfg.MAX_RESOLUTION)
-        w16 = _round_up(w_s, cfg.MAX_RESOLUTION)
-        boxes, scores, counts = fn(
-            self.params, raw_u8_dev,
-            jnp.float32(1.0 / scale),
-            jnp.int32(h_s), jnp.int32(w_s),
-            jnp.float32(h_s), jnp.float32(w_s),
-            jnp.int32(h16 // detector_mod.FEAT_STRIDE),
-            jnp.int32(w16 // detector_mod.FEAT_STRIDE),
-            jnp.float32(0.0),
-            jnp.float32(score_thresh if score_thresh is not None
-                        else cfg.TEST.SCORE_THRESH))
-        return (np.asarray(boxes), np.asarray(scores), np.asarray(counts),
-                h_s, w_s)
-
-    def _program(self, shape):
-        """Jitted forward+decode for a (B, H, W) padded shape (host-preproc
-        path)."""
-        if shape in self._compiled:
-            return self._compiled[shape]
-        spec = self.spec
-        cd = self.compute_dtype
-
-        def run(params, x, im_h, im_w, valid_h, valid_w, min_size,
-                score_thresh):
-            out = detector_mod.forward(params, x, spec, compute_dtype=cd)
-            return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
-                                      min_size, score_thresh)
-
-        fn = jax.jit(run)
-        self._compiled[shape] = fn
-        return fn
-
-    def forward_scale(self, ims, im_h, im_w, score_thresh=None):
-        """Run one pyramid level. ims: list of HWC float32 mean-subtracted
-        images of identical (im_h, im_w) (e.g. [image, flipped image]).
-        Returns (boxes (B, cap, 4), scores (B, cap), counts (B,)) numpy.
-        """
-        b = len(ims)
-        h16 = _round_up(im_h, cfg.MAX_RESOLUTION)
-        w16 = _round_up(im_w, cfg.MAX_RESOLUTION)
-        bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
-        hb = _round_up(h16, bucket)
-        wb = _round_up(w16, bucket)
-        x = np.zeros((b, hb, wb, 3), dtype=np.float32)
-        for i, im in enumerate(ims):
-            x[i, :im_h, :im_w] = im
-        fn = self._program((b, hb, wb))
-        xd = jnp.asarray(x)
-        if self.device is not None:
-            xd = jax.device_put(xd, self.device)
-        boxes, scores, counts = fn(
-            self.params, xd,
-            jnp.float32(im_h), jnp.float32(im_w),
-            jnp.int32(h16 // detector_mod.FEAT_STRIDE),
-            jnp.int32(w16 // detector_mod.FEAT_STRIDE),
-            jnp.float32(0.0),
-            jnp.float32(score_thresh if score_thresh is not None
-                        else cfg.TEST.SCORE_THRESH))
-        return (np.asarray(boxes), np.asarray(scores),
-                np.asarray(counts))
 
     def detect(self, im, thresh=0.05, timers=None):
         """Full-pyramid detection on one BGR uint8 image (or path).

@@ -176,25 +176,50 @@ def param_multipliers(spec: ModelSpec):
     return lr, decay
 
 
-def forward(params, x, spec: ModelSpec, compute_dtype=None):
+def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):
     """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
     of 16. Returns dict with:
       cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
       bbox_deltas: (B, h, w, A, 4)
     Anchor order along A matches ANCHOR_SCALES = (1, 2, 4), i.e. the row
     order of ops.anchors.generate_anchors(scales=[1,2,4]).
+
+    valid_hw: optional (vh, vw) scalars — the ×16-padded image extent in
+    input pixels when x carries extra bucket padding beyond it. The
+    reference network only ever saw the ×16 extent, with implicit zero
+    padding at every conv (net blobs end at H16/stride); without masking,
+    conv biases make the bucket-padded region nonzero (relu(bias)) and
+    those activations bleed back inside the valid extent through the
+    receptive field. Masking every stage's output back to zero beyond
+    valid/stride reproduces the reference's implicit zero padding exactly.
     """
     cd = compute_dtype
     if cd is not None:
         x = x.astype(cd)
 
+    stride = [1]
+    _mask_cache = {}
+
+    def mask(h):
+        if valid_hw is None:
+            return h
+        s = stride[0]
+        hh, ww = h.shape[1], h.shape[2]
+        key = (s, hh, ww)
+        if key not in _mask_cache:
+            ys = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+            _mask_cache[key] = ((ys < valid_hw[0] // s) &
+                                (xs < valid_hw[1] // s))[None, :, :, None]
+        return jnp.where(_mask_cache[key], h, jnp.zeros((), h.dtype))
+
     def cbr(h, name, dilation=1):
         pad = dilation  # 3x3 kernels throughout
-        return jax.nn.relu(conv2d(
+        return mask(jax.nn.relu(conv2d(
             h, params[name]["w"], params[name]["b"],
-            dilation=dilation, padding=pad, compute_dtype=cd))
+            dilation=dilation, padding=pad, compute_dtype=cd)))
 
-    h = x
+    h = mask(x)
     feats = {}
     for si, (stage, _, n) in enumerate(VGG_STAGES):
         for i in range(1, n + 1):
@@ -202,15 +227,18 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None):
         feats[stage] = h
         if si < len(VGG_STAGES) - 1:
             h = max_pool_2x2(h)
+            stride[0] *= 2
 
-    f5 = jax.nn.relu(conv2d(
+    f5 = mask(jax.nn.relu(conv2d(
         feats["conv5"], params["conv5_256"]["w"], params["conv5_256"]["b"],
-        padding=0, compute_dtype=cd))
+        padding=0, compute_dtype=cd)))
     up = upsample2x_bilinear(f5, params["conv5_256_up"]["w"])
-    f4 = jax.nn.relu(conv2d(
-        feats["conv4"], params["conv4_256"]["w"], params["conv4_256"]["b"],
-        padding=0, compute_dtype=cd))
-    fuse = jnp.concatenate([up, f4], axis=-1)
+    stride[0] //= 2                       # back to the stride-8 grid
+    f4 = feats["conv4"]
+    fuse = jnp.concatenate([mask(up), jax.nn.relu(conv2d(
+        f4, params["conv4_256"]["w"], params["conv4_256"]["b"],
+        padding=0, compute_dtype=cd))], axis=-1)
+    fuse = mask(fuse)
     ff = cbr(fuse, "conv4_fuse_final")
 
     b, hh, ww = ff.shape[0], ff.shape[1], ff.shape[2]

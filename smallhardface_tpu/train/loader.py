@@ -119,9 +119,18 @@ class RoIDataLoader:
     feedback (the RoIDataLayer role)."""
 
     def __init__(self, roidb, rank=0):
+        import threading
         self.rank = rank
         self._roidb = roidb
         self.rng = np.random.RandomState(int(cfg.RNG_SEED) + rank)
+        # per-replica mining state: the reference forked one process per
+        # GPU, so skip/prob flags were rank-private (lib/train.py:249-258);
+        # the shared roidb here stays read-only and flags live locally
+        self._mining = {}          # im_idx -> {"prob": p} or {"skip": k}
+        # sampler state is mutated from the prefetch thread pool; the lock
+        # keeps _next_index/_shuffle/rng atomic (the reference's data layer
+        # was single-threaded per rank)
+        self._lock = threading.Lock()
         self._shuffle()
 
     def _shuffle(self):
@@ -143,14 +152,14 @@ class RoIDataLoader:
             self._perm = list(self.rng.permutation(len(roidb)))
         skipped = []
         if cfg.TRAIN.DISABLE_EASY_IMAGE.SMOOTH:
-            for i, r in enumerate(roidb):
-                if "prob" in r and self.rng.rand() < r["prob"]:
+            for i, m in self._mining.items():
+                if "prob" in m and self.rng.rand() < m["prob"]:
                     skipped.append(i)
         else:
-            for i, r in enumerate(roidb):
-                if r.get("skip", 0) >= 1:
+            for i, m in self._mining.items():
+                if m.get("skip", 0) >= 1:
                     skipped.append(i)
-                    r["skip"] -= 1
+                    m["skip"] -= 1
         if skipped:
             skipset = set(skipped)
             self._perm = [i for i in self._perm if i not in skipset]
@@ -159,24 +168,26 @@ class RoIDataLoader:
         self._cur = 0
 
     def _next_index(self):
-        if self._cur >= len(self._perm):
-            logger.info("New epoch, rank: %d", self.rank)
-            self._shuffle()
-        idx = self._perm[self._cur]
-        self._cur += 1
-        return idx
+        with self._lock:
+            if self._cur >= len(self._perm):
+                logger.info("New epoch, rank: %d", self.rank)
+                self._shuffle()
+            idx = self._perm[self._cur]
+            self._cur += 1
+            return idx
 
     def mark_easy(self, im_idx):
         """Easy-image feedback from the device step
-        (multi_layer_anchor_layer.py:329-338)."""
+        (multi_layer_anchor_layer.py:329-338). State is rank-private."""
         dei = cfg.TRAIN.DISABLE_EASY_IMAGE
         if not dei.ENABLE:
             return
-        if dei.SMOOTH:
-            self._roidb[im_idx]["prob"] = dei.PROB
-        elif self.rng.rand() <= dei.PROB:
-            self._roidb[im_idx]["skip"] = np.inf
-            logger.warning("%d ignored at rank: %d", im_idx, self.rank)
+        with self._lock:
+            if dei.SMOOTH:
+                self._mining[im_idx] = {"prob": dei.PROB}
+            elif self.rng.rand() <= dei.PROB:
+                self._mining[im_idx] = {"skip": np.inf}
+                logger.warning("%d ignored at rank: %d", im_idx, self.rank)
 
     def get_minibatch(self, scale_idx):
         """Build one training sample at the given scale index. Returns a
@@ -233,7 +244,8 @@ class RoIDataLoader:
                 self.rng.rand() < cfg.TRAIN.AUGMENT.CROP.PROB):
             im, gt = _crop(im, gt, self.rng)
 
-        entry.setdefault("seen_scale", []).append(im_scale)
+        self._mining.setdefault(idx, {}).setdefault(
+            "seen_scale", []).append(im_scale)
         data = np.ascontiguousarray(
             np.clip(np.round(im), 0, 255), dtype=np.uint8)
         return {

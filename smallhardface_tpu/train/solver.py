@@ -56,32 +56,15 @@ def init_state(params, solver_type="SGD"):
 
 def sgd_update(params, grads, momentum_state, *, rate, lr_mults, decay_mults,
                weight_decay, momentum=0.9):
-    """One Caffe SGD step. All tree arguments share the params structure;
-    lr_mults/decay_mults are float-leaf trees. Returns (params, momentum)."""
-
-    def upd(w, g, v, lr_mult, decay_mult):
-        lr_mult = jnp.asarray(lr_mult, w.dtype)
-        g_total = g + weight_decay * decay_mult * w
-        v_new = momentum * v + rate * lr_mult * g_total
-        return w - v_new, v_new
-
-    flat_w, treedef = jax.tree_util.tree_flatten(params)
-    flat_g = treedef.flatten_up_to(grads)
-    flat_v = treedef.flatten_up_to(momentum_state)
-    flat_lm = treedef.flatten_up_to(lr_mults)
-    flat_dm = treedef.flatten_up_to(decay_mults)
-    new_w, new_v = [], []
-    for w, g, v, lm, dm in zip(flat_w, flat_g, flat_v, flat_lm, flat_dm):
-        if lm == 0.0:
-            # frozen param (lr_mult 0): no update, no momentum accumulation
-            new_w.append(w)
-            new_v.append(v)
-            continue
-        wn, vn = upd(w, g, v, lm, dm)
-        new_w.append(wn)
-        new_v.append(vn)
-    return (jax.tree_util.tree_unflatten(treedef, new_w),
-            jax.tree_util.tree_unflatten(treedef, new_v))
+    """One Caffe SGD step — thin wrapper over apply_update('SGD') keeping
+    the (params, momentum_tree) signature the train loop and checkpoints
+    use. All tree arguments share the params structure; lr_mults /
+    decay_mults are float-leaf trees. Returns (params, momentum)."""
+    new_params, state = apply_update(
+        params, grads, {"h1": momentum_state}, solver_type="SGD",
+        rate=rate, lr_mults=lr_mults, decay_mults=decay_mults,
+        weight_decay=weight_decay, momentum=momentum)
+    return new_params, state["h1"]
 
 
 def apply_update(params, grads, state, *, solver_type="SGD", rate,

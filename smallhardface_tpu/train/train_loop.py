@@ -97,8 +97,10 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
         xs = lax.broadcasted_iota(jnp.int32, data.shape[:2], 1)
         inside = ((ys[..., None] < im_hw[0]) & (xs[..., None] < im_hw[1]))
         x = jnp.where(inside, x - pixel_mean, 0.0)
-        out = detector_mod.forward(params, x[None], spec,
-                                   compute_dtype=compute_dtype)
+        out = detector_mod.forward(
+            params, x[None], spec, compute_dtype=compute_dtype,
+            valid_hw=(valid_hw[0] * detector_mod.FEAT_STRIDE,
+                      valid_hw[1] * detector_mod.FEAT_STRIDE))
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
         bg_prob = lax.stop_gradient(
@@ -262,13 +264,18 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     num_scales = len(cfg.TRAIN.SCALES.SHORT_SIDE)
     scale_seq = host_rng.randint(0, num_scales, size=max_iter)
 
+    def _fetch_rank(r, scale_idx):
+        # sequential within a rank (the reference's data layer was
+        # single-threaded per rank); parallel across ranks
+        return [loaders[r].get_minibatch(scale_idx)
+                for _ in range(iter_size)]
+
     def build_batch(it):
         scale_idx = int(scale_seq[it])
-        samples = []
-        with ThreadPoolExecutor(max_workers=max(n_dev * iter_size, 1)) as ex:
-            futs = [ex.submit(loaders[r].get_minibatch, scale_idx)
-                    for r in range(n_dev) for _ in range(iter_size)]
-            samples = [f.result() for f in futs]
+        with ThreadPoolExecutor(max_workers=max(n_dev, 1)) as ex:
+            futs = [ex.submit(_fetch_rank, r, scale_idx)
+                    for r in range(n_dev)]
+            samples = [s for f in futs for s in f.result()]
         return assemble_batch(samples, n_dev, iter_size, gt_buckets)
 
     snapshot_prefix = cfg.NAME if cfg.TRAIN.SNAPSHOT_INFIX == "" else \
