@@ -87,6 +87,48 @@ def test_param_multipliers():
     assert lr["conv5_256_up"]["w"] == 0.0
 
 
+def test_bucket_padding_parity():
+    """A bucket-padded input with valid_hw masking must produce exactly the
+    same features inside the valid grid as the exact ×16-sized input —
+    conv biases otherwise leak relu(bias) activations from the padded
+    region into valid cells near the boundary (the reference only ever
+    pads to ×16 and sees implicit zeros at every conv)."""
+    spec = detector.ModelSpec(different_dilation=True)
+    params = detector.init_params(jax.random.PRNGKey(3), spec)
+    # pretrained conv biases are nonzero — that's what leaks; random init
+    # uses zero biases, so set them explicitly
+    keys = jax.random.split(jax.random.PRNGKey(9), len(params))
+    for key, (name, leaf) in zip(keys, sorted(params.items())):
+        if "b" in leaf:
+            leaf["b"] = 0.5 * jax.random.normal(key, leaf["b"].shape)
+    rng = np.random.RandomState(0)
+    h16, w16 = 48, 80
+    x = rng.randn(1, h16, w16, 3).astype(np.float32) * 30
+
+    exact = detector.forward(params, jnp.asarray(x), spec)
+
+    hb, wb = 128, 128
+    xp = np.zeros((1, hb, wb, 3), np.float32)
+    xp[:, :h16, :w16] = x
+    padded = detector.forward(params, jnp.asarray(xp), spec,
+                              valid_hw=(jnp.int32(h16), jnp.int32(w16)))
+
+    gh, gw = h16 // 8, w16 // 8
+    np.testing.assert_allclose(
+        np.asarray(padded["cls_logits"])[:, :gh, :gw],
+        np.asarray(exact["cls_logits"]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(padded["bbox_deltas"])[:, :gh, :gw],
+        np.asarray(exact["bbox_deltas"]), rtol=1e-4, atol=1e-4)
+
+    # and WITHOUT masking the leak is real (guards against the mask
+    # becoming a silent no-op)
+    leaky = detector.forward(params, jnp.asarray(xp), spec)
+    diff = np.abs(np.asarray(leaky["cls_logits"])[:, :gh, :gw] -
+                  np.asarray(exact["cls_logits"])).max()
+    assert diff > 1e-3, "expected boundary leak without masking"
+
+
 def test_flip_equivariance():
     """Horizontally flipping the input must flip the score map (same stack
     the reference exploits for flip TTA, lib/test.py:147-155)."""
