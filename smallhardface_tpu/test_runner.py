@@ -135,8 +135,23 @@ def demo(params, spec, thresh):
     return None
 
 
+def get_testing_roidb(imdb):
+    """Prepare the testing roidb (reference lib/test.py:359-371)."""
+    logger.info("Preparing testing data...")
+    imdb.prepare_roidb()
+    logger.info("done")
+    return imdb.roidb
+
+
 def test_net(imdb, output_dir, thresh=0.05, no_cache=False, step=0,
              params=None, spec=None):
+    if cfg.TEST.LEVEL:
+        # The shipped templates emit one proposal module; per-level
+        # selection (lib/test.py:71-75) only applies to multi-module
+        # surgery models.
+        logger.warning("TEST.LEVEL=%s ignored: the different-dilation "
+                       "model has a single proposal module",
+                       cfg.TEST.LEVEL)
     spec = spec or detector_mod.build_spec(cfg)
     if params is None:
         params = _load_params(spec)

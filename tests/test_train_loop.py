@@ -49,6 +49,8 @@ def train_cfg(tmp_path):
 
     set_("TRAIN.SCALES.SHORT_SIDE", [64])
     set_("TRAIN.SCALES.MAX_SIZE", 128)
+    old_bucket = train_loop.BUCKET
+    train_loop.BUCKET = 32
     set_("TRAIN.AUGMENT.ENABLE", False)
     set_("TRAIN.ITERSIZE", 1)
     set_("TRAIN.SNAPSHOT", 2)
@@ -57,6 +59,7 @@ def train_cfg(tmp_path):
     set_("TRAIN.DISABLE_EASY_IMAGE.ENABLE", True)
     set_("TRAIN.DISABLE_EASY_IMAGE.SMOOTH", True)
     yield
+    train_loop.BUCKET = old_bucket
     for path, v in saved.items():
         parts = path.split(".")
         d = cfg
@@ -137,20 +140,21 @@ def test_train_step_updates_only_unfrozen(tmp_path, train_cfg):
 
 def test_train_loss_decreases(tmp_path, train_cfg):
     """Overfitting smoke: on a fixed tiny set the cls loss must trend down."""
-    roidb = _tiny_roidb(tmp_path, n=2)
+    roidb = _tiny_roidb(tmp_path, n=2, hw=(48, 64))
     mesh = make_mesh(2)
     out_dir = str(tmp_path / "out3")
     os.makedirs(out_dir, exist_ok=True)
     losses = []
-    old = cfg.TRAIN.LR.BASELR
+    old = (cfg.TRAIN.LR.BASELR, cfg.TRAIN.SCALES.SHORT_SIDE)
     cfg.TRAIN.LR.BASELR = 0.002
+    cfg.TRAIN.SCALES.SHORT_SIDE = [48]
     try:
         train_loop.train_net(
-            roidb, out_dir, pretrained_model=None, max_iter=12, mesh=mesh,
+            roidb, out_dir, pretrained_model=None, max_iter=8, mesh=mesh,
             progress_hook=lambda it, m: losses.append(
                 float(m["cls_loss"].mean()) + float(m["reg_loss"].mean())))
     finally:
-        cfg.TRAIN.LR.BASELR = old
-    first = np.mean(losses[:3])
-    last = np.mean(losses[-3:])
+        cfg.TRAIN.LR.BASELR, cfg.TRAIN.SCALES.SHORT_SIDE = old
+    first = np.mean(losses[:2])
+    last = np.mean(losses[-2:])
     assert last < first, f"loss did not decrease: {losses}"
