@@ -77,7 +77,7 @@ def get_training_roidb(imdb):
 
 
 def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
-                    momentum=0.9, compute_dtype=None):
+                    momentum=0.9, compute_dtype=None, solver_type="SGD"):
     """Build the jitted global train step. Compiled per (H, W, G) bucket."""
     n_dev = mesh.devices.size
     base_anchors = anchors_mod.generate_anchors(
@@ -152,14 +152,15 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
         out_specs=(P(), P(DATA_AXIS)))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, momentum_state, rate, data, gt, gt_mask, im_hw,
+    def step(params, opt_state, rate, iteration, data, gt, gt_mask, im_hw,
              valid_hw):
         grads, metrics = sharded(params, data, gt, gt_mask, im_hw, valid_hw)
-        new_params, new_momentum = solver_mod.sgd_update(
-            params, grads, momentum_state, rate=rate,
+        new_params, new_state = solver_mod.apply_update(
+            params, grads, opt_state, solver_type=solver_type, rate=rate,
             lr_mults=lr_mults, decay_mults=decay_mults,
-            weight_decay=weight_decay, momentum=momentum)
-        return new_params, new_momentum, metrics
+            weight_decay=weight_decay, momentum=momentum,
+            iteration=iteration)
+        return new_params, new_state, metrics
 
     return step
 
@@ -243,21 +244,26 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     compute_dtype = (jnp.bfloat16 if cfg.TPU.PRECISION == "bfloat16"
                      else None)
 
+    solver_type = str(cfg.TRAIN.SOLVER_TYPE)
     params = _init_params(spec, pretrained_model)
-    momentum_state = solver_mod.init_momentum(params)
+    opt_state = solver_mod.init_state(params, solver_type)
     start_iter = 0
     if cfg.TRAIN.RESUME:
-        params, momentum_state, start_iter, _ = checkpoint.load(
+        params, loaded_state, start_iter, _ = checkpoint.load(
             cfg.TRAIN.RESUME)
         params = jax.tree_util.tree_map(jnp.asarray, params)
-        momentum_state = jax.tree_util.tree_map(jnp.asarray, momentum_state)
+        if loaded_state is not None:
+            if "h1" not in loaded_state:     # pre-family checkpoints
+                loaded_state = {"h1": loaded_state}
+            opt_state = jax.tree_util.tree_map(jnp.asarray, loaded_state)
         logger.info("Resumed from %s at iter %d", cfg.TRAIN.RESUME,
                     start_iter)
 
     step = make_train_step(
         spec, tc, mesh, iter_size,
         weight_decay=float(cfg.TRAIN.WEIGHT_DECAY),
-        compute_dtype=compute_dtype)
+        momentum=float(cfg.TRAIN.MOMENTUM),
+        compute_dtype=compute_dtype, solver_type=solver_type)
 
     loaders = [RoIDataLoader(roidb, rank=r) for r in range(n_dev)]
     host_rng = np.random.RandomState(int(cfg.RNG_SEED))
@@ -316,8 +322,8 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         if it + 1 < max_iter:
             pending = prefetch.submit(build_batch, it + 1)
         rate = solver_mod.learning_rate(it, cfg)
-        params, momentum_state, metrics = step(
-            params, momentum_state, jnp.float32(rate),
+        params, opt_state, metrics = step(
+            params, opt_state, jnp.float32(rate), jnp.int32(it),
             jnp.asarray(batch["data"]), jnp.asarray(batch["gt"]),
             jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
             jnp.asarray(batch["valid_hw"]))
@@ -341,11 +347,11 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             fname = osp.join(output_dir,
                              f"{snapshot_prefix}_iter_{it1}.npz")
             checkpoint.save(fname, jax.device_get(params),
-                            jax.device_get(momentum_state), it1)
+                            jax.device_get(opt_state), it1)
             if it1 == max_iter:
                 checkpoint.save(osp.join(output_dir, "final.npz"),
                                 jax.device_get(params),
-                                jax.device_get(momentum_state), it1)
+                                jax.device_get(opt_state), it1)
                 from smallhardface_tpu.io import caffemodel
                 caffemodel.export_params(
                     osp.join(output_dir, "final.caffemodel"),

@@ -86,6 +86,28 @@ def test_train_step_runs_on_mesh(tmp_path, train_cfg):
     assert os.path.exists(os.path.join(out_dir, "final.caffemodel"))
 
 
+def test_train_adam_solver(tmp_path, train_cfg):
+    """The optimizer family is selectable via TRAIN.SOLVER_TYPE."""
+    roidb = _tiny_roidb(tmp_path, n=2)
+    mesh = make_mesh(2)
+    out_dir = str(tmp_path / "out_adam")
+    os.makedirs(out_dir, exist_ok=True)
+    old = cfg.TRAIN.SOLVER_TYPE
+    cfg.TRAIN.SOLVER_TYPE = "ADAM"
+    losses = []
+    try:
+        train_loop.train_net(
+            roidb, out_dir, pretrained_model=None, max_iter=2, mesh=mesh,
+            progress_hook=lambda it, m: losses.append(
+                float(m["cls_loss"].mean())))
+    finally:
+        cfg.TRAIN.SOLVER_TYPE = old
+    assert all(np.isfinite(l) for l in losses)
+    from smallhardface_tpu.io import checkpoint
+    _, opt_state, _, _ = checkpoint.load(os.path.join(out_dir, "final.npz"))
+    assert "h1" in opt_state and "h2" in opt_state  # Adam's two slots
+
+
 def test_train_resume(tmp_path, train_cfg):
     roidb = _tiny_roidb(tmp_path)
     mesh = make_mesh(2)
@@ -125,9 +147,9 @@ def test_train_step_updates_only_unfrozen(tmp_path, train_cfg):
     samples = [loaders[r].get_minibatch(0) for r in range(2)]
     batch, im_idx, bucket = train_loop.assemble_batch(
         samples, 2, 1, [8])
-    momentum = solver.init_momentum(params0)
+    opt_state = solver.init_state(params0, "SGD")
     p1, m1, metrics = step(
-        params0, momentum, jnp.float32(0.01),
+        params0, opt_state, jnp.float32(0.01), jnp.int32(0),
         jnp.asarray(batch["data"]), jnp.asarray(batch["gt"]),
         jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
         jnp.asarray(batch["valid_hw"]))
