@@ -136,7 +136,10 @@ def demo(params, spec, thresh):
 
 
 def get_testing_roidb(imdb):
-    """Prepare the testing roidb (reference lib/test.py:359-371)."""
+    """Prepare the testing roidb. Public-API parity with the reference's
+    helper (lib/test.py:359-371), which its own driver likewise never
+    calls — evaluation reads images by path and needs no roidb. Kept for
+    users who called it directly."""
     logger.info("Preparing testing data...")
     imdb.prepare_roidb()
     logger.info("done")

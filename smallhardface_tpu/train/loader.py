@@ -27,6 +27,7 @@ state, making runs reproducible per replica.
 from __future__ import annotations
 
 import logging
+import threading
 
 import cv2
 import numpy as np
@@ -119,17 +120,21 @@ class RoIDataLoader:
     feedback (the RoIDataLayer role)."""
 
     def __init__(self, roidb, rank=0):
-        import threading
         self.rank = rank
         self._roidb = roidb
+        # two independent streams: self.rng feeds the (single) fetch
+        # thread's sampling/augmentation; the feedback stream feeds
+        # mark_easy, which the MAIN thread calls concurrently — separate
+        # streams keep the per-replica fetch RNG reproducible
         self.rng = np.random.RandomState(int(cfg.RNG_SEED) + rank)
+        self._feedback_rng = np.random.RandomState(
+            int(cfg.RNG_SEED) + rank + 7919)
         # per-replica mining state: the reference forked one process per
         # GPU, so skip/prob flags were rank-private (lib/train.py:249-258);
         # the shared roidb here stays read-only and flags live locally
         self._mining = {}          # im_idx -> {"prob": p} or {"skip": k}
-        # sampler state is mutated from the prefetch thread pool; the lock
-        # keeps _next_index/_shuffle/rng atomic (the reference's data layer
-        # was single-threaded per rank)
+        # the lock guards _perm/_cur/_mining, which the fetch thread and
+        # the main thread (mark_easy) both touch
         self._lock = threading.Lock()
         self._shuffle()
 
@@ -184,9 +189,9 @@ class RoIDataLoader:
             return
         with self._lock:
             if dei.SMOOTH:
-                self._mining[im_idx] = {"prob": dei.PROB}
-            elif self.rng.rand() <= dei.PROB:
-                self._mining[im_idx] = {"skip": np.inf}
+                self._mining.setdefault(im_idx, {})["prob"] = dei.PROB
+            elif self._feedback_rng.rand() <= dei.PROB:
+                self._mining.setdefault(im_idx, {})["skip"] = np.inf
                 logger.warning("%d ignored at rank: %d", im_idx, self.rank)
 
     def get_minibatch(self, scale_idx):
@@ -244,8 +249,9 @@ class RoIDataLoader:
                 self.rng.rand() < cfg.TRAIN.AUGMENT.CROP.PROB):
             im, gt = _crop(im, gt, self.rng)
 
-        self._mining.setdefault(idx, {}).setdefault(
-            "seen_scale", []).append(im_scale)
+        with self._lock:
+            self._mining.setdefault(idx, {}).setdefault(
+                "seen_scale", []).append(im_scale)
         data = np.ascontiguousarray(
             np.clip(np.round(im), 0, 255), dtype=np.uint8)
         return {

@@ -255,7 +255,20 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         if loaded_state is not None:
             if "h1" not in loaded_state:     # pre-family checkpoints
                 loaded_state = {"h1": loaded_state}
-            opt_state = jax.tree_util.tree_map(jnp.asarray, loaded_state)
+            loaded_state = jax.tree_util.tree_map(jnp.asarray, loaded_state)
+            # reconcile slot layout with the configured solver family:
+            # warm-start shared slots, zero-init missing ones
+            if "h2" in opt_state and "h2" not in loaded_state:
+                logger.warning(
+                    "Checkpoint has one optimizer slot but %s needs two; "
+                    "h2 starts from zeros", solver_type)
+                loaded_state["h2"] = opt_state["h2"]
+            if "h2" not in opt_state and "h2" in loaded_state:
+                logger.warning(
+                    "Dropping checkpoint's second optimizer slot for %s",
+                    solver_type)
+                loaded_state.pop("h2")
+            opt_state = loaded_state
         logger.info("Resumed from %s at iter %d", cfg.TRAIN.RESUME,
                     start_iter)
 
