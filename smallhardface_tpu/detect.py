@@ -68,10 +68,18 @@ class TPUDetector:
         (lib/utils/test_utils.py:29-46) for parity debugging.
     """
 
-    def __init__(self, params, spec=None, device=None):
+    def __init__(self, params, spec=None, device=None, spatial_mesh=None):
+        """spatial_mesh: optional Mesh from parallel.mesh.make_spatial_mesh
+        — shards every pyramid level's H axis across the mesh so a single
+        image's inference runs on multiple chips (XLA inserts the conv
+        halo exchanges); detections are bit-identical to single-chip."""
         self.spec = spec or detector_mod.build_spec(cfg)
         self.device = device
-        if device is not None:
+        self.spatial_mesh = spatial_mesh
+        if spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            params = jax.device_put(params, NamedSharding(spatial_mesh, P()))
+        elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
         self.base_anchors = anchors_mod.generate_anchors(
@@ -188,7 +196,19 @@ class TPUDetector:
                 n = jnp.minimum(keep.sum(), k)
             return packed, n.astype(jnp.int32)
 
-        fn = jax.jit(run)
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+            mesh = self.spatial_mesh
+            fn = jax.jit(
+                run,
+                in_shardings=(
+                    NamedSharding(mesh, P()),                 # params
+                    NamedSharding(mesh, P(SPATIAL_AXIS)),     # raw image H
+                ) + (NamedSharding(mesh, P()),) * 7,
+                out_shardings=NamedSharding(mesh, P()))
+        else:
+            fn = jax.jit(run)
         self._compiled_dev[key] = fn
         return fn
 
@@ -270,9 +290,16 @@ class TPUDetector:
         W0b = _round_up(w0, bucket)
         padded = np.pad(im, ((0, H0b - h0), (0, W0b - w0), (0, 0)),
                         mode="edge")
-        raw = jnp.asarray(padded)
-        if self.device is not None:
-            raw = jax.device_put(raw, self.device)
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+            raw = jax.device_put(
+                jnp.asarray(padded),
+                NamedSharding(self.spatial_mesh, P(SPATIAL_AXIS)))
+        else:
+            raw = jnp.asarray(padded)
+            if self.device is not None:
+                raw = jax.device_put(raw, self.device)
 
         hs_l, ws_l, vh_l, vw_l, buckets = [], [], [], [], []
         for scale in pyramid_scales:

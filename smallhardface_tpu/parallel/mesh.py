@@ -44,6 +44,21 @@ def make_mesh(num_devices: int = -1) -> Mesh:
     return Mesh(np.array(devs[:n]), (DATA_AXIS,))
 
 
+SPATIAL_AXIS = "sp"
+
+
+def make_spatial_mesh(num_devices: int) -> Mesh:
+    """Mesh for sharding a single image's spatial H axis across chips.
+    XLA's SPMD partitioner inserts the conv halo exchanges automatically,
+    so one large image runs across the mesh with bit-identical results —
+    the resolution-scaling axis SURVEY.md §5 identifies (the reference had
+    no model/spatial parallelism at all)."""
+    maybe_init_distributed()
+    devs = jax.devices()
+    n = min(num_devices, len(devs))
+    return Mesh(np.array(devs[:n]), (SPATIAL_AXIS,))
+
+
 def batch_spec() -> P:
     return P(DATA_AXIS)
 
