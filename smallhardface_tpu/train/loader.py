@@ -79,11 +79,13 @@ def _distortion(im, rng):
     return np.clip(np.round(im), 0.0, 255.0)
 
 
-def _crop(data, gt_boxes, rng):
-    """Random crop keeping ≥1 face center inside (minibatch.py:100-146).
-    data: (H, W, 3); gt_boxes: (G, 5)."""
+def _sample_crop(img_h, img_w, gt_boxes, rng):
+    """Sample a random crop window keeping ≥1 face center inside
+    (minibatch.py:100-146) — pure box geometry, no pixels touched (the
+    actual crop fuses into the device resize). Returns
+    (hs, ws, height, width, transformed gt) or None when no feasible
+    window is found."""
     aug = cfg.TRAIN.AUGMENT.CROP
-    img_h, img_w = data.shape[:2]
     found = False
     for _ in range(aug.MAX_TRIES):
         wr = rng.uniform(aug.LOWER, aug.UPPER)
@@ -107,12 +109,11 @@ def _crop(data, gt_boxes, rng):
             found = True
             break
     if not found:
-        return data, gt_boxes
-    data = data[hs:hs + height, ws:ws + width]
+        return None
     gt = gt_boxes[inside].copy()
     gt[:, [0, 2]] = np.clip(gt[:, [0, 2]] - ws, 0.0, width)
     gt[:, [1, 3]] = np.clip(gt[:, [1, 3]] - hs, 0.0, height)
-    return data, gt
+    return hs, ws, height, width, gt
 
 
 class RoIDataLoader:
@@ -195,9 +196,18 @@ class RoIDataLoader:
                 logger.warning("%d ignored at rank: %d", im_idx, self.rank)
 
     def get_minibatch(self, scale_idx):
-        """Build one training sample at the given scale index. Returns a
-        dict: data (H, W, 3) float32 (unpadded), gt_boxes (G, 5),
-        im_idx, height, width."""
+        """Build one training sample at the given scale index.
+
+        Host work stops at the distorted uint8 ORIGINAL: the resize to the
+        training scale and the random crop fuse into the device step
+        (scale_and_translate with translation = -crop offset), so no
+        megapixel cv2.resize runs on the host and the upload is the
+        original image. gt boxes ship already transformed to the final
+        (resized, cropped) frame.
+
+        Returns dict: data (h0, w0, 3) uint8 original, gt_boxes (G, 5),
+        im_scale, crop (hs, ws) in resized coords, im_idx, height, width
+        (the FINAL post-crop extent driving bucket/valid shapes)."""
         mode = cfg.TRAIN.SCALES.MODE
         assert mode in ("SHORT_SIDE", "FACE_AREA"), \
             f"Unknown TRAIN.SCALES.MODE: {mode}"
@@ -237,17 +247,23 @@ class RoIDataLoader:
                     im_scale = float(np.sqrt(target_size / face_median))
             if np.round(im_scale * size_max) > cfg.TRAIN.SCALES.MAX_SIZE:
                 im_scale = float(cfg.TRAIN.SCALES.MAX_SIZE) / size_max
-        im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
-                        interpolation=cv2.INTER_LINEAR)
+        # resized extent with cv2's dst-rounding convention (the device
+        # resize samples at 1/im_scale, identical to cv2.resize fx=)
+        hr = int(round(im.shape[0] * im_scale))
+        wr = int(round(im.shape[1] * im_scale))
 
         gt_inds = np.where(entry["gt_classes"] != 0)[0]
         gt = np.zeros((len(gt_inds), 5), dtype=np.float32)
         gt[:, :4] = entry["boxes"][gt_inds] * im_scale
         gt[:, 4] = entry["gt_classes"][gt_inds]
 
+        hs = ws = 0
+        height, width = hr, wr
         if (cfg.TRAIN.AUGMENT.ENABLE and
                 self.rng.rand() < cfg.TRAIN.AUGMENT.CROP.PROB):
-            im, gt = _crop(im, gt, self.rng)
+            crop = _sample_crop(hr, wr, gt, self.rng)
+            if crop is not None:
+                hs, ws, height, width, gt = crop
 
         with self._lock:
             self._mining.setdefault(idx, {}).setdefault(
@@ -257,7 +273,9 @@ class RoIDataLoader:
         return {
             "data": data,
             "gt_boxes": gt,
+            "im_scale": float(im_scale),
+            "crop": (hs, ws),
             "im_idx": idx,
-            "height": im.shape[0],
-            "width": im.shape[1],
+            "height": height,
+            "width": width,
         }

@@ -88,15 +88,25 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
 
     pixel_mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
 
-    def loss_fn(params, data, gt, gt_mask, im_hw, valid_hw):
-        # batches arrive uint8; mean subtraction happens here on device.
-        # zero-padded regions become 0 after subtraction to match the
+    def loss_fn(params, out_shape, data, scl, crp, gt, gt_mask, im_hw,
+                valid_hw):
+        # data is the distorted uint8 ORIGINAL (edge-padded); the resize to
+        # the training scale and the random crop fuse into one
+        # scale_and_translate (cv2 fx-sampling convention, translation =
+        # -crop offset). Mean subtraction follows on device; the region
+        # beyond the final (im_h, im_w) extent zeroes out to match the
         # reference's post-mean zero padding (minibatch.py:47-53).
-        x = data.astype(jnp.float32)
-        ys = lax.broadcasted_iota(jnp.int32, data.shape[:2], 0)
-        xs = lax.broadcasted_iota(jnp.int32, data.shape[:2], 1)
+        hb, wb = out_shape
+        img = data.astype(jnp.float32)
+        resized = jax.image.scale_and_translate(
+            img, (hb, wb, 3), (0, 1),
+            scale=jnp.stack([scl, scl]),
+            translation=-crp.astype(jnp.float32),
+            method="linear", antialias=False)
+        ys = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+        xs = lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
         inside = ((ys[..., None] < im_hw[0]) & (xs[..., None] < im_hw[1]))
-        x = jnp.where(inside, x - pixel_mean, 0.0)
+        x = jnp.where(inside, resized - pixel_mean, 0.0)
         out = detector_mod.forward(
             params, x[None], spec, compute_dtype=compute_dtype,
             valid_hw=(valid_hw[0] * detector_mod.FEAT_STRIDE,
@@ -124,37 +134,40 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
         }
         return cls_loss + reg_loss, aux
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True, argnums=0)
 
-    def device_grads(params, data, gt, gt_mask, im_hw, valid_hw):
-        # shards carry a leading device axis of size 1
-        data, gt = data[0], gt[0]
-        gt_mask, im_hw, valid_hw = gt_mask[0], im_hw[0], valid_hw[0]
+    def make_device_grads(out_shape):
+        def device_grads(params, data, scl, crp, gt, gt_mask, im_hw,
+                         valid_hw):
+            # shards carry a leading device axis of size 1
+            data, scl, crp, gt = data[0], scl[0], crp[0], gt[0]
+            gt_mask, im_hw, valid_hw = gt_mask[0], im_hw[0], valid_hw[0]
 
-        def micro(gsum, xs):
-            (_, aux), g = grad_fn(params, *xs)
-            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-            return gsum, aux
+            def micro(gsum, xs):
+                (_, aux), g = grad_fn(params, out_shape, *xs)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return gsum, aux
 
-        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
-        gsum, auxes = lax.scan(
-            micro, g0, (data, gt, gt_mask, im_hw, valid_hw))
-        gsum = lax.psum(gsum, DATA_AXIS)
-        grads = jax.tree_util.tree_map(
-            lambda g: g / (n_dev * iter_size), gsum)
-        metrics = {k: v[None] for k, v in auxes.items()}   # (1, I)
-        return grads, metrics
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+            gsum, auxes = lax.scan(
+                micro, g0, (data, scl, crp, gt, gt_mask, im_hw, valid_hw))
+            gsum = lax.psum(gsum, DATA_AXIS)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / (n_dev * iter_size), gsum)
+            metrics = {k: v[None] for k, v in auxes.items()}   # (1, I)
+            return grads, metrics
+        return device_grads
 
-    sharded = shard_map(
-        device_grads, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P(DATA_AXIS)))
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rate, iteration, data, gt, gt_mask, im_hw,
-             valid_hw):
-        grads, metrics = sharded(params, data, gt, gt_mask, im_hw, valid_hw)
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnums=(4,))
+    def step(params, opt_state, rate, iteration, out_shape, data, scl, crp,
+             gt, gt_mask, im_hw, valid_hw):
+        sharded = shard_map(
+            make_device_grads(out_shape), mesh=mesh,
+            in_specs=(P(),) + (P(DATA_AXIS),) * 7,
+            out_specs=(P(), P(DATA_AXIS)))
+        grads, metrics = sharded(params, data, scl, crp, gt, gt_mask,
+                                 im_hw, valid_hw)
         new_params, new_state = solver_mod.apply_update(
             params, grads, opt_state, solver_type=solver_type, rate=rate,
             lr_mults=lr_mults, decay_mults=decay_mults,
@@ -178,14 +191,22 @@ def _snap_gt(g, buckets):
 
 def assemble_batch(samples, n_dev, iter_size, gt_buckets):
     """Pad a flat list of loader samples (n_dev*iter_size) to shared bucket
-    shapes. Returns (arrays dict, im_idx list, bucket key)."""
+    shapes. `data` carries the distorted uint8 ORIGINALS (edge-padded so
+    the fused device resize clamps at image borders like cv2); resize +
+    crop happen on device via (im_scale, crop). Returns
+    (arrays dict, im_idx list, bucket key)."""
     hmax = max(s["height"] for s in samples)
     wmax = max(s["width"] for s in samples)
     hb, wb = _snap(hmax, BUCKET), _snap(wmax, BUCKET)
+    h0max = max(s["data"].shape[0] for s in samples)
+    w0max = max(s["data"].shape[1] for s in samples)
+    h0b, w0b = _snap(h0max, BUCKET), _snap(w0max, BUCKET)
     gmax = max(max(s["gt_boxes"].shape[0] for s in samples), 1)
     gb = _snap_gt(gmax, gt_buckets)
 
-    data = np.zeros((n_dev, iter_size, hb, wb, 3), np.uint8)
+    data = np.zeros((n_dev, iter_size, h0b, w0b, 3), np.uint8)
+    scale = np.ones((n_dev, iter_size), np.float32)
+    crop = np.zeros((n_dev, iter_size, 2), np.float32)
     gt = np.zeros((n_dev, iter_size, gb, 5), np.float32)
     gt_mask = np.zeros((n_dev, iter_size, gb), bool)
     im_hw = np.zeros((n_dev, iter_size, 2), np.float32)
@@ -193,8 +214,13 @@ def assemble_batch(samples, n_dev, iter_size, gt_buckets):
     im_idx = []
     for k, s in enumerate(samples):
         d, i = divmod(k, iter_size)
+        h0, w0 = s["data"].shape[:2]
+        data[d, i] = np.pad(s["data"],
+                            ((0, h0b - h0), (0, w0b - w0), (0, 0)),
+                            mode="edge")
+        scale[d, i] = s["im_scale"]
+        crop[d, i] = s["crop"]
         h, w = s["height"], s["width"]
-        data[d, i, :h, :w] = s["data"]
         g = min(s["gt_boxes"].shape[0], gb)
         if s["gt_boxes"].shape[0] > gb:
             logger.warning("Truncating %d gt boxes to bucket %d",
@@ -206,8 +232,9 @@ def assemble_batch(samples, n_dev, iter_size, gt_buckets):
             _snap(h, cfg.MAX_RESOLUTION) // detector_mod.FEAT_STRIDE,
             _snap(w, cfg.MAX_RESOLUTION) // detector_mod.FEAT_STRIDE)
         im_idx.append(s["im_idx"])
-    return ({"data": data, "gt": gt, "gt_mask": gt_mask, "im_hw": im_hw,
-             "valid_hw": valid_hw}, im_idx, (hb, wb, gb))
+    return ({"data": data, "scale": scale, "crop": crop, "gt": gt,
+             "gt_mask": gt_mask, "im_hw": im_hw, "valid_hw": valid_hw},
+            im_idx, (h0b, w0b, hb, wb, gb))
 
 
 def _init_params(spec, pretrained_model):
@@ -335,9 +362,11 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         if it + 1 < max_iter:
             pending = prefetch.submit(build_batch, it + 1)
         rate = solver_mod.learning_rate(it, cfg)
+        out_shape = (bucket[2], bucket[3])        # (hb, wb)
         params, opt_state, metrics = step(
-            params, opt_state, jnp.float32(rate), jnp.int32(it),
-            jnp.asarray(batch["data"]), jnp.asarray(batch["gt"]),
+            params, opt_state, jnp.float32(rate), jnp.int32(it), out_shape,
+            jnp.asarray(batch["data"]), jnp.asarray(batch["scale"]),
+            jnp.asarray(batch["crop"]), jnp.asarray(batch["gt"]),
             jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
             jnp.asarray(batch["valid_hw"]))
         metrics = {k: np.asarray(v) for k, v in metrics.items()}

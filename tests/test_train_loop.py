@@ -150,7 +150,9 @@ def test_train_step_updates_only_unfrozen(tmp_path, train_cfg):
     opt_state = solver.init_state(params0, "SGD")
     p1, m1, metrics = step(
         params0, opt_state, jnp.float32(0.01), jnp.int32(0),
-        jnp.asarray(batch["data"]), jnp.asarray(batch["gt"]),
+        (bucket[2], bucket[3]),
+        jnp.asarray(batch["data"]), jnp.asarray(batch["scale"]),
+        jnp.asarray(batch["crop"]), jnp.asarray(batch["gt"]),
         jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
         jnp.asarray(batch["valid_hw"]))
     np.testing.assert_array_equal(np.asarray(p1["conv1_1"]["w"]),
