@@ -1,0 +1,144 @@
+"""HTTP detection service: persistent TPU detector behind a threaded
+HTTP server.
+
+The reference had no serving story (batch eval only); this serves the same
+detect() pipeline — fused whole-pyramid device program, flip TTA, host
+vote — as an endpoint:
+
+  POST /detect?thresh=0.05   body: JPEG/PNG bytes
+      → {"count": N, "detections": [[x1, y1, x2, y2, score], ...]}
+  GET  /healthz              → {"status": "ok", ...}
+
+Concurrent requests overlap: the device dispatch happens under a short
+lock, the host-side readback + vote runs outside it, so one request's
+host work overlaps the next one's device compute (same pattern as the
+eval pipeline in test_runner).
+
+Usage:
+  python -m smallhardface_tpu.serve --conf configs/smallhardface.toml \
+      --model /path/to/final.npz [--port 8400] [--host 127.0.0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class DetectorService:
+    """Thread-safe wrapper over TPUDetector's async pipeline."""
+
+    def __init__(self, params, spec):
+        from smallhardface_tpu.detect import TPUDetector
+        self.det = TPUDetector(params, spec)
+        self._dispatch_lock = threading.Lock()
+
+    def warmup(self, shape=(480, 640)):
+        import cv2
+        im = np.zeros((*shape, 3), np.uint8)
+        self.detect(cv2.imencode(".jpg", im)[1].tobytes())
+
+    def detect(self, image_bytes, thresh=0.05):
+        import cv2
+        arr = np.frombuffer(image_bytes, np.uint8)
+        im = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if im is None:
+            raise ValueError("could not decode image")
+        with self._dispatch_lock:
+            handle = self.det.detect_async(im, thresh)
+        dets = self.det.finalize_async(handle, thresh)[0]
+        return dets
+
+
+def make_handler(service):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                import jax
+                self._json(200, {"status": "ok",
+                                 "backend": jax.default_backend(),
+                                 "devices": jax.local_device_count()})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if not self.path.startswith("/detect"):
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                thresh = 0.05
+                if "thresh=" in self.path:
+                    thresh = float(
+                        self.path.split("thresh=")[1].split("&")[0])
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._json(400, {"error": "empty body"})
+                    return
+                data = self.rfile.read(length)
+                dets = service.detect(data, thresh)
+                self._json(200, {
+                    "count": int(dets.shape[0]),
+                    "detections": np.round(dets, 3).tolist(),
+                })
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:          # pragma: no cover
+                logger.exception("detect failed")
+                self._json(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.client_address[0], *args)
+
+    return Handler
+
+
+def serve(service, host="127.0.0.1", port=8400):
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    logger.info("serving on %s:%d", host, port)
+    return server
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--conf", default="")
+    p.add_argument("--model", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8400)
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    from smallhardface_tpu.config import cfg, cfg_from_file
+    if args.conf:
+        cfg_from_file(args.conf)
+    if args.model:
+        cfg.TEST.MODEL = args.model
+
+    import jax
+    from smallhardface_tpu.models import detector as dm
+    from smallhardface_tpu.test_runner import _load_params
+    spec = dm.build_spec(cfg)
+    params = _load_params(spec)
+    service = DetectorService(params, spec)
+    logger.info("warming up...")
+    service.warmup()
+    server = serve(service, args.host, args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""HTTP serving endpoint: real socket round-trip on the CPU mesh."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import cv2
+import jax
+import pytest
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu import serve as serve_mod
+
+
+@pytest.fixture(scope="module")
+def server():
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TEST.N_DETS_PER_MODULE)
+    cfg.TEST.SCALES = [50, 90]
+    cfg.TEST.FLIP = True
+    cfg.TPU.TEST_BUCKET = 64
+    cfg.TEST.N_DETS_PER_MODULE = 100
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    service = serve_mod.DetectorService(params, spec)
+    srv = serve_mod.serve(service, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+     cfg.TEST.N_DETS_PER_MODULE) = old
+
+
+def _jpeg(shape=(96, 128)):
+    im = np.random.RandomState(0).randint(0, 255, (*shape, 3), np.uint8)
+    return cv2.imencode(".jpg", im)[1].tobytes()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz") as r:
+        payload = json.loads(r.read())
+    assert payload["status"] == "ok"
+    assert payload["devices"] >= 1
+
+
+def test_detect_roundtrip(server):
+    req = urllib.request.Request(f"{server}/detect?thresh=0.05",
+                                 data=_jpeg(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        payload = json.loads(r.read())
+    assert payload["count"] == len(payload["detections"])
+    assert payload["count"] >= 1
+    for det in payload["detections"][:5]:
+        assert len(det) == 5
+
+
+def test_detect_bad_body(server):
+    req = urllib.request.Request(f"{server}/detect",
+                                 data=b"not an image", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+
+
+def test_concurrent_requests(server):
+    results = []
+
+    def hit():
+        req = urllib.request.Request(f"{server}/detect", data=_jpeg(),
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            results.append(json.loads(r.read())["count"])
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert len(set(results)) == 1      # same image → same count
