@@ -77,8 +77,8 @@ class TPUDetector:
         self.device = device
         self.spatial_mesh = spatial_mesh
         if spatial_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            params = jax.device_put(params, NamedSharding(spatial_mesh, P()))
+            from smallhardface_tpu.parallel.mesh import replicate
+            params = replicate(spatial_mesh, params)
         elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
@@ -89,8 +89,13 @@ class TPUDetector:
             strides=[detector_mod.FEAT_STRIDE] * 3)
         cap = int(cfg.TPU.DET_CAPACITY)
         self.capacity = cap if cap > 0 else int(cfg.TEST.N_DETS_PER_MODULE)
-        self._compiled = {}
-        self._compiled_dev = {}
+        from collections import OrderedDict
+        # LRU caches of compiled programs: serving workloads with diverse
+        # client image sizes would otherwise grow these without bound
+        # (each entry holds a compiled executable)
+        self._compiled = OrderedDict()
+        self._compiled_dev = OrderedDict()
+        self._max_programs = 64
         precision = cfg.TPU.PRECISION
         self.compute_dtype = (jnp.bfloat16 if precision == "bfloat16"
                               else None)
@@ -117,7 +122,10 @@ class TPUDetector:
         image instead of one per level. key = (H0b, W0b,
         ((hb, wb), ...per level), flip)."""
         if key in self._compiled_dev:
+            self._compiled_dev.move_to_end(key)
             return self._compiled_dev[key]
+        if len(self._compiled_dev) >= self._max_programs:
+            self._compiled_dev.popitem(last=False)
         H0b, W0b, level_buckets, flip = key
         spec = self.spec
         cd = self.compute_dtype
@@ -293,9 +301,11 @@ class TPUDetector:
         if self.spatial_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+            # device_put on the numpy array transfers each H-shard exactly
+            # once (jnp.asarray first would upload to device 0, then
+            # rescatter device-to-device)
             raw = jax.device_put(
-                jnp.asarray(padded),
-                NamedSharding(self.spatial_mesh, P(SPATIAL_AXIS)))
+                padded, NamedSharding(self.spatial_mesh, P(SPATIAL_AXIS)))
         else:
             raw = jnp.asarray(padded)
             if self.device is not None:

@@ -37,26 +37,24 @@ def maybe_init_distributed():
         _distributed_initialized = True
 
 
-def make_mesh(num_devices: int = -1) -> Mesh:
-    maybe_init_distributed()
-    devs = jax.devices()
-    n = len(devs) if num_devices <= 0 else min(num_devices, len(devs))
-    return Mesh(np.array(devs[:n]), (DATA_AXIS,))
-
-
 SPATIAL_AXIS = "sp"
 
 
-def make_spatial_mesh(num_devices: int) -> Mesh:
+def make_mesh(num_devices: int = -1, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D device mesh; num_devices <= 0 means all local devices."""
+    maybe_init_distributed()
+    devs = jax.devices()
+    n = len(devs) if num_devices <= 0 else min(num_devices, len(devs))
+    return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def make_spatial_mesh(num_devices: int = -1) -> Mesh:
     """Mesh for sharding a single image's spatial H axis across chips.
     XLA's SPMD partitioner inserts the conv halo exchanges automatically,
     so one large image runs across the mesh with bit-identical results —
     the resolution-scaling axis SURVEY.md §5 identifies (the reference had
     no model/spatial parallelism at all)."""
-    maybe_init_distributed()
-    devs = jax.devices()
-    n = min(num_devices, len(devs))
-    return Mesh(np.array(devs[:n]), (SPATIAL_AXIS,))
+    return make_mesh(num_devices, axis_name=SPATIAL_AXIS)
 
 
 def batch_spec() -> P:

@@ -59,6 +59,10 @@ class DetectorService:
 
 def make_handler(service):
     class Handler(BaseHTTPRequestHandler):
+        # bounds rfile reads so a client declaring a longer Content-Length
+        # than it sends cannot pin a handler thread forever
+        timeout = 60
+
         def _json(self, code, payload):
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -81,15 +85,21 @@ def make_handler(service):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
-                thresh = 0.05
-                if "thresh=" in self.path:
-                    thresh = float(
-                        self.path.split("thresh=")[1].split("&")[0])
+                from urllib.parse import urlparse, parse_qs
+                qs = parse_qs(urlparse(self.path).query)
+                thresh = float(qs.get("thresh", ["0.05"])[0])
+                if "chunked" in (self.headers.get("Transfer-Encoding")
+                                 or "").lower():
+                    self._json(411, {"error": "Content-Length required"})
+                    return
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
                     self._json(400, {"error": "empty body"})
                     return
                 data = self.rfile.read(length)
+                if len(data) < length:
+                    self._json(400, {"error": "truncated body"})
+                    return
                 dets = service.detect(data, thresh)
                 self._json(200, {
                     "count": int(dets.shape[0]),

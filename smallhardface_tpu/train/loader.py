@@ -247,10 +247,21 @@ class RoIDataLoader:
                     im_scale = float(np.sqrt(target_size / face_median))
             if np.round(im_scale * size_max) > cfg.TRAIN.SCALES.MAX_SIZE:
                 im_scale = float(cfg.TRAIN.SCALES.MAX_SIZE) / size_max
+        # Downscales resize on the HOST (the resized image is SMALLER than
+        # the original, so shipping it minimizes the upload and keeps the
+        # compiled original-shape set bounded by the scale buckets);
+        # upscales ship the original and resize on device (the original is
+        # the minimal representation). Either way the device step sees
+        # (data, ship_scale, crop) with cv2 fx-sampling semantics.
+        ship_scale = im_scale
+        if im_scale < 1.0:
+            im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
+                            interpolation=cv2.INTER_LINEAR)
+            ship_scale = 1.0
         # resized extent with cv2's dst-rounding convention (the device
-        # resize samples at 1/im_scale, identical to cv2.resize fx=)
-        hr = int(round(im.shape[0] * im_scale))
-        wr = int(round(im.shape[1] * im_scale))
+        # resize samples at 1/ship_scale, identical to cv2.resize fx=)
+        hr = int(round(im.shape[0] * ship_scale))
+        wr = int(round(im.shape[1] * ship_scale))
 
         gt_inds = np.where(entry["gt_classes"] != 0)[0]
         gt = np.zeros((len(gt_inds), 5), dtype=np.float32)
@@ -273,7 +284,7 @@ class RoIDataLoader:
         return {
             "data": data,
             "gt_boxes": gt,
-            "im_scale": float(im_scale),
+            "im_scale": float(ship_scale),
             "crop": (hs, ws),
             "im_idx": idx,
             "height": height,
