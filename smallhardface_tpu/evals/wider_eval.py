@@ -134,17 +134,21 @@ def image_evaluation(pred_info, gt_bbx, ignore, iou_thresh, mimic_eval_bug):
 
 def image_pr_info(pred_info, proposal_list, pred_recall):
     """Per-image contribution to the PR curve at the 1000 score thresholds
-    (wider_eval.py:103-116)."""
+    (wider_eval.py:103-116), vectorized: scores are descending (read_pred
+    sorts), so the last index ≥ thresh and the prefix proposal count come
+    from a searchsorted + cumsum instead of a python loop per threshold."""
     img_pr_info = np.zeros((THRESH_NUM, 2))
     scores = pred_info[:, -1]
-    for t in range(THRESH_NUM):
-        thresh = 1 - (t + 1.0) / THRESH_NUM
-        above = np.where(scores >= thresh)[0]
-        if above.size == 0:
-            continue
-        r_index = above[-1]
-        p_index = np.where(proposal_list[:r_index + 1] == 1)[0]
-        img_pr_info[t] = [len(p_index), pred_recall[r_index, 0]]
+    threshs = 1.0 - (np.arange(1, THRESH_NUM + 1)) / THRESH_NUM
+    # scores descending: count of entries >= thresh via searchsorted on the
+    # ascending reversal; r_index = count - 1
+    counts = len(scores) - np.searchsorted(scores[::-1], threshs,
+                                           side="left")
+    prop_cum = np.cumsum(proposal_list[:, 0] == 1)
+    valid = counts > 0
+    r_index = counts[valid] - 1
+    img_pr_info[valid, 0] = prop_cum[r_index]
+    img_pr_info[valid, 1] = pred_recall[r_index, 0]
     return img_pr_info
 
 

@@ -106,6 +106,36 @@ def test_mimic_eval_bug_changes_matching():
     assert pr_bug[-1, 0] == 1      # bug: second pred re-matches gt0
 
 
+def test_image_pr_info_matches_loop_reference(rng):
+    """The vectorized threshold sweep must equal the reference's explicit
+    per-threshold loop (wider_eval.py:103-116)."""
+    from smallhardface_tpu.evals.wider_eval import image_pr_info, THRESH_NUM
+
+    def loop_version(pred_info, proposal_list, pred_recall):
+        out = np.zeros((THRESH_NUM, 2))
+        scores = pred_info[:, -1]
+        for t in range(THRESH_NUM):
+            thresh = 1 - (t + 1.0) / THRESH_NUM
+            above = np.where(scores >= thresh)[0]
+            if above.size == 0:
+                continue
+            r_index = above[-1]
+            p_index = np.where(proposal_list[:r_index + 1] == 1)[0]
+            out[t] = [len(p_index), pred_recall[r_index, 0]]
+        return out
+
+    for n in (1, 7, 40):
+        scores = np.sort(rng.uniform(0, 1, n))[::-1]
+        pred_info = np.zeros((n, 5))
+        pred_info[:, -1] = scores
+        proposal_list = rng.choice([-1.0, 1.0], (n, 1))
+        pred_recall = np.cumsum(rng.randint(0, 2, (n, 1)), axis=0).astype(
+            np.float64)
+        got = image_pr_info(pred_info, proposal_list, pred_recall)
+        want = loop_version(pred_info, proposal_list, pred_recall)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_round_half_away():
     from smallhardface_tpu.evals.wider_eval import _round_half_away
     assert _round_half_away(0.5) == 1
