@@ -39,7 +39,10 @@ def read_pred(pred_dir, gt_mat_path):
     rows are (x, y, w, h, score) sorted by descending score."""
     gt_data = sio.loadmat(gt_mat_path)
     pred_list = []
-    for i in range(EVENT_NUM):
+    # The official toolkit hard-codes 61 events; derive the count from the
+    # mat itself so smaller (synthetic) ground-truth sets evaluate too.
+    n_events = gt_data["event_list"].shape[0]
+    for i in range(n_events):
         img_list = gt_data["file_list"][i][0]
         event = gt_data["event_list"][i][0][0]
         bbx_list = []
@@ -77,7 +80,10 @@ def norm_score(org_pred_list):
                 event_out.append(p)
                 continue
             q = p.copy()
-            q[:, -1] = (q[:, -1] - min_score) / (max_score - min_score)
+            # Guard the degenerate all-one-score case (e.g. random-weight
+            # smoke runs): the reference would divide by zero here.
+            span = max_score - min_score
+            q[:, -1] = (q[:, -1] - min_score) / span if span > 0 else 1.0
             event_out.append(q)
         out.append(event_out)
     return out

@@ -25,17 +25,32 @@ import jax.numpy as jnp
 
 
 def learning_rate(iteration, cfg):
-    """Host-side scalar LR for an iteration (sgd_solver.cpp:27-100)."""
+    """Host-side scalar LR for an iteration — the full lr_policy family of
+    SGDSolver::GetLearningRate (sgd_solver.cpp:27-100)."""
+    import math
+
     base = float(cfg.TRAIN.LR.BASELR)
-    gamma = 0.1
-    if cfg.TRAIN.LR_POLICY == "STEP":
+    gamma = float(cfg.TRAIN.get("GAMMA", 0.1))
+    power = float(cfg.TRAIN.get("POWER", 1.0))
+    policy = cfg.TRAIN.LR_POLICY
+    if policy == "FIXED":
+        return base
+    if policy == "STEP":
         k = iteration // int(cfg.TRAIN.STEPSIZE)
         return base * (gamma ** k)
-    if cfg.TRAIN.LR_POLICY == "MULTISTEP":
+    if policy == "EXP":
+        return base * (gamma ** iteration)
+    if policy == "INV":
+        return base * (1.0 + gamma * iteration) ** (-power)
+    if policy == "MULTISTEP":
         k = sum(1 for sv in cfg.TRAIN.STEPVALUE if iteration >= sv)
         return base * (gamma ** k)
-    raise NotImplementedError(
-        f"Unknown LR policy: {cfg.TRAIN.LR_POLICY}")
+    if policy == "POLY":
+        return base * (1.0 - iteration / float(cfg.TRAIN.ITERS)) ** power
+    if policy == "SIGMOID":
+        return base / (1.0 + math.exp(
+            -gamma * (iteration - float(cfg.TRAIN.STEPSIZE))))
+    raise NotImplementedError(f"Unknown LR policy: {policy}")
 
 
 def init_momentum(params):

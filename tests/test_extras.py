@@ -89,3 +89,41 @@ def test_draw_net_dot():
     assert "digraph" in dot and "head_4" in dot and "shared weights" in dot
     dot2 = spec_to_dot(ModelSpec(different_dilation=False))
     assert "cls_score" in dot2 and "head_4" not in dot2
+
+
+def test_forked_pdb_rebinds_stdin(monkeypatch, tmp_path):
+    import sys
+    import pdb as _pdb
+    from smallhardface_tpu.utils.forked_pdb import ForkedPdb
+
+    seen = {}
+
+    def fake_interaction(self, *a, **k):
+        seen["stdin_name"] = getattr(sys.stdin, "name", None)
+
+    monkeypatch.setattr(_pdb.Pdb, "interaction", fake_interaction)
+    # point /dev/stdin reads at a real file via monkeypatched open
+    real_open = open
+    f = tmp_path / "stdin.txt"
+    f.write_text("q\n")
+
+    def fake_open(path, *a, **k):
+        if path == "/dev/stdin":
+            return real_open(f, *a, **k)
+        return real_open(path, *a, **k)
+
+    import builtins
+    monkeypatch.setattr(builtins, "open", fake_open)
+    orig_stdin = sys.stdin
+    ForkedPdb().interaction()
+    assert seen["stdin_name"] == str(f)
+    assert sys.stdin is orig_stdin
+
+
+def test_norm_score_degenerate_single_score():
+    from smallhardface_tpu.evals.wider_eval import norm_score
+    p = np.array([[1.0, 2, 3, 4, 0.7], [5.0, 6, 7, 8, 0.7]])
+    out = norm_score([[p, None]])
+    assert np.isfinite(out[0][0][:, -1]).all()
+    np.testing.assert_array_equal(out[0][0][:, -1], [1.0, 1.0])
+    assert out[0][1] is None

@@ -234,3 +234,51 @@ def test_learning_rate_policies():
     finally:
         (cfg.TRAIN.LR.BASELR, cfg.TRAIN.LR_POLICY, cfg.TRAIN.STEPSIZE,
          cfg.TRAIN.STEPVALUE) = old
+
+
+def test_learning_rate_policy_family():
+    """Analytic values for the full lr_policy family
+    (sgd_solver.cpp:27-100), in the style of the reference's
+    test_gradient_based_solver.cpp."""
+    import math
+    from smallhardface_tpu.config import cfg
+    from smallhardface_tpu.train.solver import learning_rate
+
+    keys = ("LR_POLICY", "STEPSIZE", "GAMMA", "POWER", "ITERS")
+    old_lr = cfg.TRAIN.LR.BASELR
+    old = {k: cfg.TRAIN[k] for k in keys}
+    try:
+        cfg.TRAIN.LR.BASELR = 0.01
+        cfg.TRAIN.GAMMA = 0.5
+        cfg.TRAIN.POWER = 2.0
+        cfg.TRAIN.STEPSIZE = 10
+        cfg.TRAIN.ITERS = 100
+
+        cfg.TRAIN.LR_POLICY = "FIXED"
+        for it in (0, 7, 99):
+            assert learning_rate(it, cfg) == 0.01
+
+        cfg.TRAIN.LR_POLICY = "EXP"
+        np.testing.assert_allclose(learning_rate(0, cfg), 0.01)
+        np.testing.assert_allclose(learning_rate(3, cfg), 0.01 * 0.5 ** 3)
+
+        cfg.TRAIN.LR_POLICY = "INV"
+        np.testing.assert_allclose(learning_rate(0, cfg), 0.01)
+        np.testing.assert_allclose(
+            learning_rate(6, cfg), 0.01 * (1 + 0.5 * 6) ** -2.0)
+
+        cfg.TRAIN.LR_POLICY = "POLY"
+        np.testing.assert_allclose(learning_rate(0, cfg), 0.01)
+        np.testing.assert_allclose(
+            learning_rate(25, cfg), 0.01 * (1 - 25 / 100.0) ** 2.0)
+        np.testing.assert_allclose(learning_rate(100, cfg), 0.0)
+
+        cfg.TRAIN.LR_POLICY = "SIGMOID"
+        np.testing.assert_allclose(learning_rate(10, cfg), 0.01 / 2.0)
+        np.testing.assert_allclose(
+            learning_rate(14, cfg),
+            0.01 / (1 + math.exp(-0.5 * (14 - 10))))
+    finally:
+        cfg.TRAIN.LR.BASELR = old_lr
+        for k in keys:
+            cfg.TRAIN[k] = old[k]
