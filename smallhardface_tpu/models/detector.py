@@ -127,10 +127,19 @@ def param_shapes(spec: ModelSpec):
 
 
 def init_params(rng, spec: ModelSpec, dtype=jnp.float32):
-    """Gaussian(0, 0.01) weights / zero biases, matching the template fillers
-    (weight_filler gaussian std 0.01, bias constant 0). The VGG stack is
-    normally overwritten by pretrained weights via io.caffemodel."""
+    """Initial weights.
+
+    Layers that carry a filler in the templates keep it: gaussian(0, 0.01)
+    weights / zero biases for laterals, fuse, and heads
+    (models/train_different_dilation_template.prototxt:383-642), fixed
+    bilinear for the deconv. The VGG backbone convs have NO filler in the
+    templates (Caffe default = constant 0 — the reference can only train
+    from ImageNet weights, which overwrite them); here they get He/MSRA
+    init so from-scratch training is well-posed. Pretrained loading via
+    io.caffemodel overwrites the backbone either way."""
     shapes = param_shapes(spec)
+    backbone = {f"{stage}_{i}" for stage, _, n in VGG_STAGES
+                for i in range(1, n + 1)}
     params = {}
     keys = jax.random.split(rng, len(shapes))
     for key, (name, tree) in zip(keys, sorted(shapes.items())):
@@ -138,6 +147,11 @@ def init_params(rng, spec: ModelSpec, dtype=jnp.float32):
         if name == "conv5_256_up":
             leaf["w"] = jnp.asarray(
                 bilinear_kernel(2, spec.lateral_channels), dtype)
+        elif name in backbone:
+            kh, kw, ci, _ = tree["w"]
+            std = float(np.sqrt(2.0 / (kh * kw * ci)))
+            leaf["w"] = std * jax.random.normal(key, tree["w"], dtype)
+            leaf["b"] = jnp.zeros(tree["b"], dtype)
         else:
             leaf["w"] = 0.01 * jax.random.normal(key, tree["w"], dtype)
             leaf["b"] = jnp.zeros(tree["b"], dtype)
@@ -174,6 +188,46 @@ def param_multipliers(spec: ModelSpec):
         lr[name] = {"w": w_lr, "b": b_lr}
         decay[name] = {"w": 1.0, "b": b_decay}
     return lr, decay
+
+
+def forward_flops(spec: ModelSpec, h, w, batch=1):
+    """Analytic conv FLOPs (2×MACs, biases/activations ignored) of one
+    forward pass at input size (h, w). Used for MFU reporting — the analog
+    of `caffe time`'s per-layer accounting, folded to one number."""
+    import math
+
+    shapes = param_shapes(spec)
+
+    def cf(name, hs, ws):
+        kh, kw, ci, co = shapes[name]["w"]
+        return 2.0 * hs * ws * kh * kw * ci * co
+
+    total = 0.0
+    s = 1
+    for stage, _, n in VGG_STAGES:
+        hs, ws = math.ceil(h / s), math.ceil(w / s)
+        for i in range(1, n + 1):
+            total += cf(f"{stage}_{i}", hs, ws)
+        if stage != "conv5":
+            s *= 2
+    h16, w16 = math.ceil(h / 16), math.ceil(w / 16)
+    h8, w8 = math.ceil(h / 8), math.ceil(w / 8)
+    total += cf("conv5_256", h16, w16)
+    kh, kw, _, co = shapes["conv5_256_up"]["w"]
+    total += 2.0 * h8 * w8 * kh * kw * co          # grouped bilinear deconv
+    total += cf("conv4_256", h8, w8)
+    total += cf("conv4_fuse_final", h8, w8)
+    if spec.different_dilation:
+        total += cf("conv4_fuse_final_dim_red", h8, w8)
+        for k in ANCHOR_SCALES:
+            total += cf("head", h8, w8)
+            total += cf(f"cls_score_{k}", h8, w8)
+            total += cf(f"bbox_pred_{k}", h8, w8)
+    else:
+        total += cf("head", h8, w8)
+        total += cf("cls_score", h8, w8)
+        total += cf("bbox_pred", h8, w8)
+    return batch * total
 
 
 def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):

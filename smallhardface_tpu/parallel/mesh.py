@@ -45,6 +45,11 @@ def make_mesh(num_devices: int = -1, axis_name: str = DATA_AXIS) -> Mesh:
     maybe_init_distributed()
     devs = jax.devices()
     n = len(devs) if num_devices <= 0 else min(num_devices, len(devs))
+    if 0 < len(devs) < num_devices:
+        import logging
+        logging.getLogger(__name__).warning(
+            "Requested %d devices but only %d available (%s backend); "
+            "using %d", num_devices, len(devs), devs[0].platform, n)
     return Mesh(np.array(devs[:n]), (axis_name,))
 
 

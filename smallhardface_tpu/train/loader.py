@@ -182,6 +182,35 @@ class RoIDataLoader:
             self._cur += 1
             return idx
 
+    def state_dict(self):
+        """Snapshot the sampler: RNG streams, permutation cursor, and
+        mining flags. Together with the weights/optimizer checkpoint this
+        makes resume bit-reproducible in the data stream (exceeds the
+        reference, which restarted its data layers from scratch).
+
+        Caveat: easy-image marks applied by the main thread AFTER the
+        train loop captured this snapshot (they land between the capture
+        and the snapshot write) are not included; they only influence
+        epoch-boundary reshuffles, so the replayed stream can diverge at
+        the first epoch boundary after resume when mining is enabled."""
+        import copy
+        with self._lock:
+            return {
+                "rng": self.rng.get_state(),
+                "feedback_rng": self._feedback_rng.get_state(),
+                "perm": list(self._perm),
+                "cur": int(self._cur),
+                "mining": copy.deepcopy(self._mining),
+            }
+
+    def load_state_dict(self, state):
+        with self._lock:
+            self.rng.set_state(state["rng"])
+            self._feedback_rng.set_state(state["feedback_rng"])
+            self._perm = list(state["perm"])
+            self._cur = int(state["cur"])
+            self._mining = dict(state["mining"])
+
     def mark_easy(self, im_idx):
         """Easy-image feedback from the device step
         (multi_layer_anchor_layer.py:329-338). State is rank-private."""

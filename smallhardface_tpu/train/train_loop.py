@@ -275,8 +275,9 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     params = _init_params(spec, pretrained_model)
     opt_state = solver_mod.init_state(params, solver_type)
     start_iter = 0
+    resume_extra = {}
     if cfg.TRAIN.RESUME:
-        params, loaded_state, start_iter, _ = checkpoint.load(
+        params, loaded_state, start_iter, resume_extra = checkpoint.load(
             cfg.TRAIN.RESUME)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         if loaded_state is not None:
@@ -306,6 +307,18 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         compute_dtype=compute_dtype, solver_type=solver_type)
 
     loaders = [RoIDataLoader(roidb, rank=r) for r in range(n_dev)]
+    if resume_extra.get("loader_state") is not None:
+        import pickle
+        states = pickle.loads(
+            np.asarray(resume_extra["loader_state"]).tobytes())
+        if len(states) == n_dev:
+            for ld, st in zip(loaders, states):
+                ld.load_state_dict(st)
+            logger.info("Restored sampler state for %d ranks", n_dev)
+        else:
+            logger.warning(
+                "Checkpoint sampler state has %d ranks but mesh has %d; "
+                "samplers restart fresh", len(states), n_dev)
     host_rng = np.random.RandomState(int(cfg.RNG_SEED))
     num_scales = len(cfg.TRAIN.SCALES.SHORT_SIDE)
     scale_seq = host_rng.randint(0, num_scales, size=max_iter)
@@ -359,6 +372,10 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     for it in range(start_iter, max_iter):
         t.tic()
         batch, im_idx, bucket = pending.result()
+        # Sampler snapshot BEFORE the next prefetch mutates loader state:
+        # a resume at iteration it+1 re-fetches exactly the batch the
+        # original run would have used for it+1.
+        loader_snapshot = [ld.state_dict() for ld in loaders]
         if it + 1 < max_iter:
             pending = prefetch.submit(build_batch, it + 1)
         rate = solver_mod.learning_rate(it, cfg)
@@ -386,14 +403,17 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                          or actions["stop"])
         if want_snapshot:
             actions["snapshot"] = False
+            import pickle
+            extra = {"loader_state": np.frombuffer(
+                pickle.dumps(loader_snapshot), dtype=np.uint8)}
             fname = osp.join(output_dir,
                              f"{snapshot_prefix}_iter_{it1}.npz")
             checkpoint.save(fname, jax.device_get(params),
-                            jax.device_get(opt_state), it1)
+                            jax.device_get(opt_state), it1, extra=extra)
             if it1 == max_iter:
                 checkpoint.save(osp.join(output_dir, "final.npz"),
                                 jax.device_get(params),
-                                jax.device_get(opt_state), it1)
+                                jax.device_get(opt_state), it1, extra=extra)
                 from smallhardface_tpu.io import caffemodel
                 caffemodel.export_params(
                     osp.join(output_dir, "final.caffemodel"),

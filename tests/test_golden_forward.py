@@ -14,9 +14,28 @@ import jax.numpy as jnp
 from smallhardface_tpu.models import detector as dm
 
 
+def _fixed_params(spec):
+    """Deterministic weights, independent of init_params policy (the golden
+    fixture was cross-validated with exactly these: 0.01·N(0,1) everywhere,
+    fixed bilinear deconv)."""
+    from smallhardface_tpu.models.layers import bilinear_kernel
+    shapes = dm.param_shapes(spec)
+    params = {}
+    keys = jax.random.split(jax.random.PRNGKey(42), len(shapes))
+    for key, (name, tree) in zip(keys, sorted(shapes.items())):
+        if name == "conv5_256_up":
+            params[name] = {"w": jnp.asarray(
+                bilinear_kernel(2, spec.lateral_channels), jnp.float32)}
+        else:
+            params[name] = {
+                "w": 0.01 * jax.random.normal(key, tree["w"], jnp.float32),
+                "b": jnp.zeros(tree["b"], jnp.float32)}
+    return params
+
+
 def _fixed_forward():
     spec = dm.ModelSpec(different_dilation=True)
-    params = dm.init_params(jax.random.PRNGKey(42), spec)
+    params = _fixed_params(spec)
     rng = np.random.RandomState(42)
     x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32) * 40)
     out = dm.forward(params, x, spec)

@@ -108,28 +108,50 @@ def test_train_adam_solver(tmp_path, train_cfg):
     assert "h1" in opt_state and "h2" in opt_state  # Adam's two slots
 
 
-def test_train_resume(tmp_path, train_cfg):
+def test_train_resume_bit_reproducible(tmp_path, train_cfg):
+    """Straight 6-iteration run == 3-iteration run + resume for 3 more:
+    weights, optimizer slots, AND the sampler state round-trip, so the
+    resumed run replays the exact same data stream (mining disabled — its
+    feedback marks are main-thread-applied after the sampler snapshot and
+    are documented as lost across resume)."""
+    from smallhardface_tpu.io import checkpoint
     roidb = _tiny_roidb(tmp_path)
     mesh = make_mesh(2)
-    out_dir = str(tmp_path / "out2")
-    os.makedirs(out_dir, exist_ok=True)
-    train_loop.train_net(roidb, out_dir, pretrained_model=None,
-                         max_iter=2, mesh=mesh)
-    from smallhardface_tpu.io import checkpoint
-    params, momentum, it, _ = checkpoint.load(
-        os.path.join(out_dir, "final.npz"))
-    assert it == 2
-    assert momentum is not None
-    # resume for one more iter
+    old_mining = cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE
+    cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE = False
     old_resume = cfg.TRAIN.RESUME
-    cfg.TRAIN.RESUME = os.path.join(out_dir, "final.npz")
     try:
-        train_loop.train_net(roidb, out_dir, pretrained_model=None,
+        out_a = str(tmp_path / "straight")
+        os.makedirs(out_a, exist_ok=True)
+        train_loop.train_net(roidb, out_a, pretrained_model=None,
+                             max_iter=6, mesh=mesh)
+        params_a, opt_a, it_a, _ = checkpoint.load(
+            os.path.join(out_a, "final.npz"))
+        assert it_a == 6
+
+        out_b = str(tmp_path / "resumed")
+        os.makedirs(out_b, exist_ok=True)
+        train_loop.train_net(roidb, out_b, pretrained_model=None,
                              max_iter=3, mesh=mesh)
-        _, _, it2, _ = checkpoint.load(os.path.join(out_dir, "final.npz"))
-        assert it2 == 3
+        cfg.TRAIN.RESUME = os.path.join(out_b, "final.npz")
+        train_loop.train_net(roidb, out_b, pretrained_model=None,
+                             max_iter=6, mesh=mesh)
+        params_b, opt_b, it_b, _ = checkpoint.load(
+            os.path.join(out_b, "final.npz"))
+        assert it_b == 6
+        for name in params_a:
+            for k in params_a[name]:
+                np.testing.assert_array_equal(
+                    params_a[name][k], params_b[name][k],
+                    err_msg=f"param {name}/{k} diverged across resume")
+        for name in opt_a["h1"]:
+            for k in opt_a["h1"][name]:
+                np.testing.assert_array_equal(
+                    opt_a["h1"][name][k], opt_b["h1"][name][k],
+                    err_msg=f"slot {name}/{k} diverged across resume")
     finally:
         cfg.TRAIN.RESUME = old_resume
+        cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE = old_mining
 
 
 def test_train_step_updates_only_unfrozen(tmp_path, train_cfg):

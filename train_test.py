@@ -51,6 +51,20 @@ def _redirect_stderr(output_dir):
 
 
 def main():
+    # The axon TPU plugin in this image overrides JAX_PLATFORMS from the
+    # environment at import; the config update is authoritative (same
+    # workaround as tests/conftest.py). Honouring the env var lets CI /
+    # scripted checks force the CPU backend through the real CLI.
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Persistent compilation cache (the env-var form is ignored by this jax
+    # version): repeat runs skip the multi-minute XLA compile of the train
+    # step and pyramid programs.
+    jax.config.update("jax_compilation_cache_dir", osp.join(
+        osp.dirname(osp.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     args = parser()
     if args.conf_file:
         cfg_from_file(args.conf_file)
