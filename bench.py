@@ -63,7 +63,7 @@ def _key_flops(spec, key):
     """Analytic model FLOPs of one fused pyramid program: sum the detector
     forward at each level's padded bucket, ×2 for the flip-TTA batch."""
     from smallhardface_tpu.models import detector as dm
-    _, _, level_buckets, flip = key
+    level_buckets, flip = key[2], key[3]
     batch = 2 if flip else 1
     return sum(dm.forward_flops(spec, hb, wb, batch=batch)
                for hb, wb in level_buckets)
@@ -125,7 +125,8 @@ def main():
         k = min(-(-max(n, 1) // 1024) * 1024, handle["packed"].shape[0])
         dets = np.asarray(handle["packed"][:k])[:n].astype(np.float32)
         t2 = time.time()
-        nms_host.bbox_vote(dets, cfg.TEST.NMS_THRESH)
+        if not handle.get("voted"):     # device vote already ran in-program
+            nms_host.bbox_vote(dets, cfg.TEST.NMS_THRESH)
         t3 = time.time()
         lat.append(t3 - t0)
         t_dispatch.append(t1 - t0)

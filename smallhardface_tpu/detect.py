@@ -100,6 +100,10 @@ class TPUDetector:
         self.compute_dtype = (jnp.bfloat16 if precision == "bfloat16"
                               else None)
         self.host_preproc = bool(cfg.TPU.HOST_PREPROC)
+        # device-side final NMS/vote: only final detections cross D2H
+        self.device_vote = (bool(cfg.TPU.DEVICE_VOTE)
+                            and not self.host_preproc)
+        self.vote_cap = int(cfg.TPU.VOTE_CAP)
 
     def _decode_batch(self, out, im_h, im_w, valid_h, valid_w, min_size,
                       score_thresh):
@@ -116,25 +120,21 @@ class TPUDetector:
 
         return jax.vmap(one)(probs, out["bbox_deltas"])
 
-    def _pyramid_program(self, key):
-        """One fused program running EVERY pyramid level (+flip batch) from
-        the single uploaded raw image — one dispatch and one readback per
-        image instead of one per level. key = (H0b, W0b,
-        ((hb, wb), ...per level), flip)."""
-        if key in self._compiled_dev:
-            self._compiled_dev.move_to_end(key)
-            return self._compiled_dev[key]
-        if len(self._compiled_dev) >= self._max_programs:
-            self._compiled_dev.popitem(last=False)
-        H0b, W0b, level_buckets, flip = key
+    def _build_run(self, level_buckets, flip, vote_method):
+        """Build the fused whole-pyramid device function: every level
+        (+flip batch) from one uploaded raw image, through forward, decode,
+        merge, and (optionally) the device NMS/vote. Shared by the
+        single-image program (jit) and detect_many's batched program
+        (jit∘vmap)."""
         spec = self.spec
         cd = self.compute_dtype
         mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
 
         merged_cap = int(cfg.TPU.MERGED_DET_CAP)
+        vote_cap = self.vote_cap
 
         def run(params, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
-                score_thresh, final_thresh):
+                score_thresh, final_thresh, nms_thresh):
             # per-level traced scalars arrive as stacked (L,) arrays
             img = raw_u8.astype(jnp.float32)
             all_boxes, all_scores = [], []
@@ -185,6 +185,26 @@ class TPUDetector:
             total = cat_scores.shape[0]
             # final host-level threshold (strictly greater, lib/test.py:163)
             keep = cat_scores > final_thresh
+            if vote_method is not None:
+                # device-side final stage: top-K above-threshold detections
+                # enter the merge; only merged clusters cross D2H
+                from smallhardface_tpu.ops import nms_jax
+                sortable = jnp.where(keep, cat_scores, -jnp.inf)
+                k = min(vote_cap, total)
+                top_scores, top_idx = lax.top_k(sortable, k)
+                n_above = jnp.minimum(keep.sum(), k).astype(jnp.int32)
+                dets5 = jnp.concatenate(
+                    [cat_boxes[top_idx], top_scores[:, None]], axis=1)
+                if vote_method == "BBOX_VOTE":
+                    out, cnt = nms_jax.bbox_vote_device(
+                        dets5, n_above, nms_thresh)
+                else:                         # plain NMS
+                    keep_idx, _, n_keep = nms_jax.nms_device(
+                        dets5[:, :4], top_scores, nms_thresh,
+                        n_valid=n_above)
+                    out = dets5[keep_idx]
+                    cnt = n_keep.astype(jnp.int32)
+                return out, cnt
             if merged_cap <= 0:
                 # no truncation (reference semantics): O(N) scatter
                 # compaction instead of a sort — the host vote re-sorts,
@@ -204,6 +224,22 @@ class TPUDetector:
                 n = jnp.minimum(keep.sum(), k)
             return packed, n.astype(jnp.int32)
 
+        return run
+
+    def _pyramid_program(self, key):
+        """One fused program running EVERY pyramid level (+flip batch) from
+        the single uploaded raw image — one dispatch and one readback per
+        image instead of one per level. key = (H0b, W0b,
+        ((hb, wb), ...per level), flip[, vote_method])."""
+        if key in self._compiled_dev:
+            self._compiled_dev.move_to_end(key)
+            return self._compiled_dev[key]
+        if len(self._compiled_dev) >= self._max_programs:
+            self._compiled_dev.popitem(last=False)
+        H0b, W0b, level_buckets, flip = key[:4]
+        vote_method = key[4] if len(key) > 4 else None
+        run = self._build_run(level_buckets, flip, vote_method)
+
         if self.spatial_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
@@ -213,7 +249,7 @@ class TPUDetector:
                 in_shardings=(
                     NamedSharding(mesh, P()),                 # params
                     NamedSharding(mesh, P(SPATIAL_AXIS)),     # raw image H
-                ) + (NamedSharding(mesh, P()),) * 7,
+                ) + (NamedSharding(mesh, P()),) * 8,
                 out_shardings=NamedSharding(mesh, P()))
         else:
             fn = jax.jit(run)
@@ -270,12 +306,9 @@ class TPUDetector:
         return (np.asarray(boxes), np.asarray(scores),
                 np.asarray(counts))
 
-    def detect_async(self, im, thresh=0.05, score_thresh=None):
-        """Upload + dispatch the fused pyramid program for one image.
-        `thresh` is the detect-level cut (probs > thresh,
-        lib/test.py:163) applied on device before the merged top-k.
-        Returns an opaque handle for finalize_async (results stay on
-        device until then, so dispatch overlaps host work)."""
+    def _prep(self, im):
+        """Pad the raw image and compute the per-level scale metadata and
+        program cache key — shared by detect_async and detect_many."""
         if isinstance(im, str):
             im = cv2.imread(im)
         h0, w0 = im.shape[:2]
@@ -298,19 +331,6 @@ class TPUDetector:
         W0b = _round_up(w0, bucket)
         padded = np.pad(im, ((0, H0b - h0), (0, W0b - w0), (0, 0)),
                         mode="edge")
-        if self.spatial_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
-            # device_put on the numpy array transfers each H-shard exactly
-            # once (jnp.asarray first would upload to device 0, then
-            # rescatter device-to-device)
-            raw = jax.device_put(
-                padded, NamedSharding(self.spatial_mesh, P(SPATIAL_AXIS)))
-        else:
-            raw = jnp.asarray(padded)
-            if self.device is not None:
-                raw = jax.device_put(raw, self.device)
-
         hs_l, ws_l, vh_l, vw_l, buckets = [], [], [], [], []
         for scale in pyramid_scales:
             h_s = int(round(h0 * scale))
@@ -325,29 +345,132 @@ class TPUDetector:
                 _round_up(max(h_s, cfg.MAX_RESOLUTION), bucket),
                 _round_up(max(w_s, cfg.MAX_RESOLUTION), bucket)))
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP))
-        fn = self._pyramid_program(key)
+        if self.device_vote:
+            key = key + (str(cfg.TEST.NMS_METHOD),)
+        return {
+            "padded": padded,
+            "key": key,
+            "inv_fx": np.asarray([1.0 / s for s in pyramid_scales],
+                                 np.float32),
+            "h_s": np.asarray(hs_l, np.int32),
+            "w_s": np.asarray(ws_l, np.int32),
+            "vh": np.asarray(vh_l, np.int32),
+            "vw": np.asarray(vw_l, np.int32),
+        }
+
+    def detect_async(self, im, thresh=0.05, score_thresh=None):
+        """Upload + dispatch the fused pyramid program for one image.
+        `thresh` is the detect-level cut (probs > thresh,
+        lib/test.py:163) applied on device before the merged top-k.
+        Returns an opaque handle for finalize_async (results stay on
+        device until then, so dispatch overlaps host work)."""
+        p = self._prep(im)
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+            # device_put on the numpy array transfers each H-shard exactly
+            # once (jnp.asarray first would upload to device 0, then
+            # rescatter device-to-device)
+            raw = jax.device_put(
+                p["padded"],
+                NamedSharding(self.spatial_mesh, P(SPATIAL_AXIS)))
+        else:
+            raw = jnp.asarray(p["padded"])
+            if self.device is not None:
+                raw = jax.device_put(raw, self.device)
+
+        fn = self._pyramid_program(p["key"])
         packed, n = fn(
             self.params, raw,
-            jnp.asarray([1.0 / s for s in pyramid_scales], jnp.float32),
-            jnp.asarray(hs_l, jnp.int32), jnp.asarray(ws_l, jnp.int32),
-            jnp.asarray(vh_l, jnp.int32), jnp.asarray(vw_l, jnp.int32),
+            jnp.asarray(p["inv_fx"]),
+            jnp.asarray(p["h_s"]), jnp.asarray(p["w_s"]),
+            jnp.asarray(p["vh"]), jnp.asarray(p["vw"]),
             jnp.float32(score_thresh if score_thresh is not None
                         else cfg.TEST.SCORE_THRESH),
-            jnp.float32(thresh))
-        return {"packed": packed, "n": n}
+            jnp.float32(thresh),
+            jnp.float32(cfg.TEST.NMS_THRESH))
+        return {"packed": packed, "n": n, "voted": self.device_vote}
+
+    def _pyramid_program_batched(self, key, batch):
+        """jit∘vmap of the fused pyramid function over a leading image
+        batch axis (params and thresholds broadcast). Cached per
+        (key, batch)."""
+        bkey = key + ("batch", batch)
+        if bkey in self._compiled_dev:
+            self._compiled_dev.move_to_end(bkey)
+            return self._compiled_dev[bkey]
+        if len(self._compiled_dev) >= self._max_programs:
+            self._compiled_dev.popitem(last=False)
+        level_buckets, flip = key[2], key[3]
+        vote_method = key[4] if len(key) > 4 else None
+        run = self._build_run(level_buckets, flip, vote_method)
+        fn = jax.jit(jax.vmap(
+            run, in_axes=(None, 0, 0, 0, 0, 0, 0, None, None, None)))
+        self._compiled_dev[bkey] = fn
+        return fn
+
+    def detect_many(self, ims, thresh=0.05, score_thresh=None):
+        """Batched multi-image detection: images sharing a pyramid bucket
+        run as ONE device program over a batch axis — the whole point of a
+        large-batch accelerator; the reference could only shard images
+        across GPUs one at a time (lib/test.py:319-344).
+
+        Detections are numerically equivalent to per-image detect() — vmap
+        adds a batch dimension to the same ops (XLA's batched recompile can
+        shift the last float ulps). Images of different padded shapes fall
+        into separate groups (each its own compiled program); callers
+        wanting a bounded program count should bucket inputs by size.
+        Returns a list of cls_dets in input order."""
+        assert self.spatial_mesh is None, (
+            "detect_many batches per chip; use one detector per chip for "
+            "spatial sharding")
+        preps = [self._prep(im) for im in ims]
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for i, p in enumerate(preps):
+            groups[p["key"]].append(i)
+        st = jnp.float32(score_thresh if score_thresh is not None
+                         else cfg.TEST.SCORE_THRESH)
+        results = [None] * len(preps)
+        for key, idxs in groups.items():
+            fn = self._pyramid_program_batched(key, len(idxs))
+            stack = lambda name: jnp.asarray(
+                np.stack([preps[i][name] for i in idxs]))
+            raw = stack("padded")
+            if self.device is not None:
+                raw = jax.device_put(raw, self.device)
+            packed, n = fn(
+                self.params, raw, stack("inv_fx"),
+                stack("h_s"), stack("w_s"), stack("vh"), stack("vw"),
+                st, jnp.float32(thresh), jnp.float32(cfg.TEST.NMS_THRESH))
+            ns = np.asarray(n)
+            for bi, i in enumerate(idxs):
+                handle = {"packed": packed[bi], "n": int(ns[bi]),
+                          "voted": self.device_vote}
+                results[i] = self.finalize_async(handle, thresh)
+        return results
 
     def finalize_async(self, handle, thresh=0.05):
-        """Read back one image's merged device results and run the host
-        vote. Returns cls_dets like detect(). (`thresh` was already
-        applied on device at dispatch.) Only the first `n` rows transfer
-        to the host — the device slice keeps crowded-image readbacks
-        proportional to the detection count."""
+        """Read back one image's device results. Returns cls_dets like
+        detect(). (`thresh` was already applied on device at dispatch.)
+        Only the first `n` rows transfer to the host — the device slice
+        keeps crowded-image readbacks proportional to the detection count.
+
+        With device voting (TPU.DEVICE_VOTE) the rows ARE the final
+        detections; host work reduces to the empty-input dummy fallback.
+        Otherwise the reference's float64 host NMS/vote runs here."""
         n = int(np.asarray(handle["n"]))
         total = handle["packed"].shape[0]
         # slice size rounded to 1024 so the on-device slice op compiles a
         # bounded number of times while transfers stay ∝ detection count
         k = min(_round_up(max(n, 1), 1024), total)
         dets = np.asarray(handle["packed"][:k])[:n].astype(np.float32)
+        if handle.get("voted"):
+            if cfg.TEST.NMS_METHOD == "BBOX_VOTE" and n == 0:
+                # reference dummy detection for empty input
+                # (lib/test.py:183-185)
+                dets = np.array([[10, 10, 20, 20, 0.0001]], np.float32)
+            return [dets]
         if cfg.TEST.NMS_METHOD == "BBOX_VOTE":
             return [nms_host.bbox_vote(dets, cfg.TEST.NMS_THRESH)]
         elif cfg.TEST.NMS_METHOD == "NMS":

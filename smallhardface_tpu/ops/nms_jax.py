@@ -1,4 +1,4 @@
-"""On-device greedy NMS with static shapes.
+"""On-device greedy NMS and bbox_vote with static shapes.
 
 Device analog of the reference's CUDA bitmask NMS
 (/root/reference/lib/nms/nms_kernel.cu:45-155): boxes are sorted by score,
@@ -7,9 +7,14 @@ with an unsuppressed earlier box exceeds the threshold. The sweep runs as a
 fori_loop of O(N) vector steps on the VPU — same asymptotics as the CUDA
 kernel's host-side mask walk, with the IoU rows computed on the fly.
 
-Used for the TRAIN-phase proposal path (proposal_layer.py:195-202) and the
-TEST NMS_METHOD="NMS" alternative, keeping those flows free of host
-round-trips. Results match ops.nms_np.nms on distinct scores.
+bbox_vote_device is the PyramidBox-style score-weighted cluster merge
+(/root/reference/lib/test.py:181-217) as a lax.while_loop — one iteration
+per cluster, each an O(V) vector step — including the reference's quirks:
+the merged score is the cluster max, and singleton clusters are DROPPED
+unless they exhaust the remaining list.
+
+Both run inside the fused pyramid program (detect.py) so finalize reads
+back only final detections; ops.nms_np holds the float64 host oracles.
 """
 
 from __future__ import annotations
@@ -60,3 +65,61 @@ def nms_device(boxes, scores, iou_thresh, n_valid=None, max_out=None):
     keep_idx = keep_idx.at[rank].set(order, mode="drop")
     slot = jnp.arange(m)
     return keep_idx, slot < jnp.minimum(n_keep, m), jnp.minimum(n_keep, m)
+
+
+def bbox_vote_device(dets, n_valid, thresh):
+    """Score-weighted box voting on device (lib/test.py:181-217 semantics).
+
+    dets: (V, 5) [x1, y1, x2, y2, score] sorted by DESCENDING score with
+    padding rows beyond n_valid. Returns (out (V, 5), n_out): merged
+    clusters in emission order. The caller supplies the reference's
+    empty-input dummy row on the host when n_out == 0.
+
+    Control-flow parity with the numpy oracle (ops.nms_np.bbox_vote):
+      - the current head is always the highest-scoring remaining row
+      - cluster = remaining rows with IoU >= thresh against the head
+      - clusters of size >= 2 emit the score-weighted mean box carrying
+        the cluster's max score
+      - singleton clusters emit their own row ONLY when nothing remains
+        afterwards (the reference's mid-stream singleton drop)
+    """
+    v = dets.shape[0]
+    boxes = dets[:, :4]
+    scores = dets[:, 4]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1) * (y2 - y1 + 1)
+    remaining0 = jnp.arange(v) < n_valid
+
+    def cond(state):
+        remaining, _, _ = state
+        return remaining.any()
+
+    def body(state):
+        remaining, out, cnt = state
+        i = jnp.argmax(remaining)       # sorted input → highest remaining
+        xx1 = jnp.maximum(x1[i], x1)
+        yy1 = jnp.maximum(y1[i], y1)
+        xx2 = jnp.minimum(x2[i], x2)
+        yy2 = jnp.minimum(y2[i], y2)
+        w = jnp.maximum(0.0, xx2 - xx1 + 1)
+        h = jnp.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        iou = inter / (area[i] + area - inter)
+        cluster = remaining & (iou >= thresh)
+        csize = cluster.sum()
+        new_remaining = remaining & ~cluster
+        exhausted = ~new_remaining.any()
+        cw = jnp.where(cluster, scores, 0.0)
+        merged_box = (boxes * cw[:, None]).sum(axis=0) / cw.sum()
+        merged_score = jnp.where(cluster, scores, -jnp.inf).max()
+        merged = jnp.concatenate([merged_box, merged_score[None]])
+        single = jnp.concatenate([boxes[i], scores[i][None]])
+        row = jnp.where(csize > 1, merged, single)
+        emit = (csize > 1) | exhausted
+        out = out.at[cnt].set(jnp.where(emit, row, out[cnt]), mode="drop")
+        return new_remaining, out, cnt + emit.astype(cnt.dtype)
+
+    out0 = jnp.zeros((v, 5), dets.dtype)
+    _, out, cnt = lax.while_loop(
+        cond, body, (remaining0, out0, jnp.int32(0)))
+    return out, cnt

@@ -1,0 +1,64 @@
+"""detect_many: batched same-bucket inference must reproduce the
+one-at-a-time path exactly (vmap adds a batch axis to the same program)."""
+
+import numpy as np
+import jax
+import pytest
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu.detect import TPUDetector
+
+
+@pytest.fixture
+def many_cfg():
+    saved = {k: cfg.TEST[k] for k in ("SCALES", "MAX_SIZE", "FLIP")}
+    saved_tpu = {k: cfg.TPU[k] for k in ("VOTE_CAP", "TEST_BUCKET")}
+    cfg.TEST.SCALES = [48]
+    cfg.TEST.MAX_SIZE = 96
+    cfg.TEST.FLIP = True
+    cfg.TPU.VOTE_CAP = 2048
+    cfg.TPU.TEST_BUCKET = 64
+    yield
+    cfg.TEST.update(saved)
+    cfg.TPU.update(saved_tpu)
+
+
+def test_detect_many_matches_detect(rng, many_cfg):
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(2), spec)
+    det = TPUDetector(params, spec)
+    # two bucket groups: 3 images at one padded size, 2 at another
+    ims = ([rng.randint(0, 255, (50, 60, 3)).astype(np.uint8)
+            for _ in range(3)] +
+           [rng.randint(0, 255, (80, 100, 3)).astype(np.uint8)
+            for _ in range(2)])
+    singles = [det.detect(im, thresh=0.05)[0] for im in ims]
+    batched = det.detect_many(ims, thresh=0.05)
+    assert len(batched) == len(ims)
+    for one, many in zip(singles, batched):
+        assert one[0].shape == many[0].shape
+        np.testing.assert_allclose(many[0], one[0], rtol=1e-5, atol=1e-4)
+
+
+def test_detect_many_matches_host_vote_path(rng, many_cfg):
+    """Same check through the host-vote path: identical detection COUNTS
+    and values within compilation tolerance (vmap recompiles the same ops
+    with a batch axis; XLA's refused fusions shift the last float ulps —
+    observed max |Δ| ≈ 4e-6 on CPU)."""
+    old = cfg.TPU.DEVICE_VOTE
+    cfg.TPU.DEVICE_VOTE = False
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(2), spec)
+        det = TPUDetector(params, spec)
+        ims = [rng.randint(0, 255, (50, 60, 3)).astype(np.uint8)
+               for _ in range(2)]
+        singles = [det.detect(im, thresh=0.05)[0] for im in ims]
+        batched = det.detect_many(ims, thresh=0.05)
+        for one, many in zip(singles, batched):
+            assert many[0].shape == one[0].shape
+            np.testing.assert_allclose(many[0], one[0],
+                                       rtol=1e-5, atol=1e-4)
+    finally:
+        cfg.TPU.DEVICE_VOTE = old

@@ -130,13 +130,21 @@ def test_bucket_padding_parity():
 
 
 def test_flip_equivariance():
-    """Horizontally flipping the input must flip the score map (same stack
-    the reference exploits for flip TTA, lib/test.py:147-155)."""
+    """Flipping the input AND the conv kernels flips the score map — the
+    structural property behind flip TTA (the reference flips the image and
+    un-flips the boxes, lib/test.py:147-155; a conv stack is only
+    equivariant when the kernels mirror too). Uses even spatial sizes so
+    ceil-mode pooling stays symmetric."""
     spec = detector.ModelSpec(different_dilation=True)
     params = detector.init_params(jax.random.PRNGKey(1), spec)
+    # mirror every conv kernel along kernel width (HWIO axis 1)
+    params_f = {
+        name: {k: (v[:, ::-1] if k == "w" and v.ndim == 4 else v)
+               for k, v in leaf.items()}
+        for name, leaf in params.items()}
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 48, 64, 3))
     out = detector.forward(params, x, spec)
-    out_f = detector.forward(params, x[:, :, ::-1, :], spec)
+    out_f = detector.forward(params_f, x[:, :, ::-1, :], spec)
     np.testing.assert_allclose(
         np.asarray(out_f["cls_logits"])[:, :, ::-1],
         np.asarray(out["cls_logits"]), rtol=2e-4, atol=2e-4)
