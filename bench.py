@@ -148,7 +148,7 @@ def main():
     mfu = (total_flops / compute_wall / peak) if (
         compute_wall > 0 and total_flops > 0) else None
 
-    # ---- pipelined pass (headline): depth-3 async pipeline ----
+    # ---- pipelined pass: depth-3 async pipeline, one image per dispatch
     from collections import deque
     t0 = time.time()
     n_done = 0
@@ -162,15 +162,32 @@ def main():
         det.finalize_async(pending.popleft(), thresh=0.05)
         n_done += 1
     elapsed = time.time() - t0
-    img_per_sec = n_done / elapsed
-    img_per_sec_per_chip = img_per_sec / max(n_chips, 1)
+    pipelined = n_done / elapsed / max(n_chips, 1)
 
+    # ---- batched pass: same-size images share one dispatch (detect_many)
+    by_shape = {}
+    for im in imgs:
+        by_shape.setdefault(im.shape, []).append(im)
+    # warm the batched programs, then time
+    for group in by_shape.values():
+        det.detect_many(group, thresh=0.05)
+    t0 = time.time()
+    nb = 0
+    for group in by_shape.values():
+        det.detect_many(group, thresh=0.05)
+        nb += len(group)
+    batched = nb / (time.time() - t0) / max(n_chips, 1)
+
+    img_per_sec_per_chip = max(pipelined, batched)
     out = {
         "metric": "WIDER-val full-pyramid eval throughput (img/s/chip)",
         "value": round(img_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(
             img_per_sec_per_chip / REFERENCE_IMG_PER_SEC_PER_GPU, 3),
+        "mode": ("batched" if batched >= pipelined else "pipelined"),
+        "pipelined_img_s": round(pipelined, 4),
+        "batched_img_s": round(batched, 4),
         "p50_latency_s": round(p50, 4),
         "iqr_latency_s": round(float(q3 - q1), 4),
         "breakdown_s": {

@@ -68,7 +68,34 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
             tb.sess.add_scalar_value(
                 "detect-time", timers["detect"].average_time, step=i - start)
 
-    if pipelined:
+    eval_batch = int(cfg.TPU.EVAL_BATCH)
+    if pipelined and eval_batch > 1:
+        # batched mode: same-bucket images share one device dispatch
+        # (detect_many); bounded program count because only full batches
+        # of exactly eval_batch run batched — leftovers go one-at-a-time
+        buckets = {}
+        leftovers = []
+        for i in range(start, end):
+            im = cv2.imread(imdb.image_path_at(i))
+            key = det._prep(im)["key"]
+            buckets.setdefault(key, []).append((i, im))
+            if len(buckets[key]) == eval_batch:
+                group = buckets.pop(key)
+                timers["detect"].tic()
+                results = det.detect_many([m for _, m in group], thresh)
+                timers["detect"].toc()
+                for (j, _), res in zip(group, results):
+                    store(j, res)
+        for group in buckets.values():
+            leftovers.extend(group)
+        for j, im in leftovers:
+            timers["detect"].tic()
+            handle = det.detect_async(im, thresh)
+            timers["detect"].toc()
+            timers["misc"].tic()
+            store(j, det.finalize_async(handle, thresh))
+            timers["misc"].toc()
+    elif pipelined:
         from collections import deque
         depth = 3           # images in flight on the device
         pending = deque()   # (image index, device handle)

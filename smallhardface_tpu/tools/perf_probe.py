@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Decompose detector compute time on the attached chip.
+
+`caffe time`-style evidence for where the milliseconds go, measured
+directly (the tunnel makes trace timestamps unreliable; wall-clock around
+a tiny readback is the only trustworthy clock here — see
+.claude/skills/verify/SKILL.md):
+
+  - forward-only vs forward+decode+merge vs full program (+device vote)
+  - float32 vs bfloat16 conv stack
+  - valid-extent masking on vs off
+  - detect_many batching (B images per dispatch) vs one-at-a-time
+
+Usage: python -m smallhardface_tpu.tools.perf_probe [--size 1408 1920]
+       [--iters 8]
+Prints one JSON line per experiment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timed(fn, args, iters):
+    """Median wall of fn(*args) with a 1-element readback barrier."""
+    outs = fn(*args)
+    leaf = None
+    import jax
+    for x in jax.tree_util.tree_leaves(outs):
+        leaf = x
+        break
+    np.asarray(leaf).ravel()[:1]          # absorb first-readback cost
+    walls = []
+    for _ in range(iters):
+        t0 = time.time()
+        outs = fn(*args)
+        leaf = jax.tree_util.tree_leaves(outs)[0]
+        np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+        walls.append(time.time() - t0)
+    return float(np.median(walls))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, nargs=2, default=[1408, 1920])
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from smallhardface_tpu.config import cfg, cfg_from_file
+    import os
+    conf = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "smallhardface.toml")
+    cfg_from_file(conf)
+    from smallhardface_tpu.models import detector as dm
+
+    h, w = args.size
+    spec = dm.build_spec(cfg)
+    params = dm.init_params(jax.random.PRNGKey(3), spec)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 30)
+    flops = dm.forward_flops(spec, h, w)
+
+    results = {}
+    for label, cd, masked in (
+            ("fwd_fp32_masked", None, True),
+            ("fwd_fp32_unmasked", None, False),
+            ("fwd_bf16_masked", jnp.bfloat16, True),
+            ("fwd_bf16_unmasked", jnp.bfloat16, False)):
+        vh = (h, w) if masked else None
+
+        def run(p, xx):
+            return dm.forward(p, xx, spec, compute_dtype=cd, valid_hw=vh)
+
+        fn = jax.jit(run)
+        wall = _timed(fn, (params, x), args.iters)
+        results[label] = {
+            "ms": round(wall * 1e3, 2),
+            "tflops_s": round(flops / wall / 1e12, 1),
+        }
+        print(json.dumps({"probe": label, "size": [h, w], **results[label]}),
+              flush=True)
+
+    # batching: B copies of the same forward in one dispatch
+    xb = jnp.asarray(rng.randn(args.batch, h // 2, w // 2, 3)
+                     .astype(np.float32) * 30)
+    x1 = xb[:1]
+    f_b = jax.jit(lambda p, xx: dm.forward(p, xx, spec))
+    w1 = _timed(f_b, (params, x1), args.iters)
+    wb = _timed(f_b, (params, xb), args.iters)
+    print(json.dumps({
+        "probe": "batching", "size": [h // 2, w // 2], "batch": args.batch,
+        "ms_b1": round(w1 * 1e3, 2), "ms_bN": round(wb * 1e3, 2),
+        "speedup_per_image": round(args.batch * w1 / wb, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

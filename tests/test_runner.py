@@ -100,3 +100,30 @@ def test_demo_mode(tmp_path, tiny_test_cfg):
         assert os.path.exists("/tmp/demo_res.jpg")
     finally:
         cfg.TEST.DEMO.ENABLE, cfg.TEST.DEMO.IMAGE = old
+
+
+def test_eval_batch_matches_per_image(tmp_path, tiny_test_cfg):
+    """TPU.EVAL_BATCH groups same-bucket images into one dispatch; the
+    detections must match the per-image pipeline."""
+    imdb = FakeImdb(_images(tmp_path, 5))     # all same size -> one bucket
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    old = (cfg.TPU.EVAL_BATCH, cfg.TPU.VOTE_CAP)
+    try:
+        cfg.TPU.VOTE_CAP = 4096
+        cfg.TPU.EVAL_BATCH = 1
+        out1 = str(tmp_path / "o1"); os.makedirs(out1)
+        test_runner.test_net(imdb, out1, thresh=0.05, no_cache=True,
+                             params=params, spec=spec)
+        single = [d.copy() for d in imdb.evaluated[1]]
+        cfg.TPU.EVAL_BATCH = 2                # 2 full batches + 1 leftover
+        imdb2 = FakeImdb(imdb._paths)
+        out2 = str(tmp_path / "o2"); os.makedirs(out2)
+        test_runner.test_net(imdb2, out2, thresh=0.05, no_cache=True,
+                             params=params, spec=spec)
+        batched = imdb2.evaluated[1]
+        for a, b in zip(single, batched):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
+    finally:
+        cfg.TPU.EVAL_BATCH, cfg.TPU.VOTE_CAP = old
