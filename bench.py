@@ -164,17 +164,18 @@ def main():
     elapsed = time.time() - t0
     pipelined = n_done / elapsed / max(n_chips, 1)
 
-    # ---- batched pass: same-size images share one dispatch (detect_many)
+    # ---- batched pass: same-size images share one dispatch (detect_many;
+    # max_batch=2 keeps the 5-level ×flip pyramid inside a v5e's 16 GB HBM)
     by_shape = {}
     for im in imgs:
         by_shape.setdefault(im.shape, []).append(im)
     # warm the batched programs, then time
     for group in by_shape.values():
-        det.detect_many(group, thresh=0.05)
+        det.detect_many(group, thresh=0.05, max_batch=2)
     t0 = time.time()
     nb = 0
     for group in by_shape.values():
-        det.detect_many(group, thresh=0.05)
+        det.detect_many(group, thresh=0.05, max_batch=2)
         nb += len(group)
     batched = nb / (time.time() - t0) / max(n_chips, 1)
 

@@ -52,6 +52,12 @@ def _round_up(x, m):
     return int(math.ceil(x / m) * m)
 
 
+def _mask_plan():
+    """(forward mask_mode, bucket margin px) for the configured
+    TPU.MASK_MODE (models/detector.py forward docstring)."""
+    return detector_mod.mask_plan(str(cfg.TPU.MASK_MODE))
+
+
 class TPUDetector:
     """Holds params + a cache of jitted (bucketed-shape) programs.
 
@@ -159,7 +165,8 @@ class TPUDetector:
                 out = detector_mod.forward(
                     params, x, spec, compute_dtype=cd,
                     valid_hw=(valid_h[li] * detector_mod.FEAT_STRIDE,
-                              valid_w[li] * detector_mod.FEAT_STRIDE))
+                              valid_w[li] * detector_mod.FEAT_STRIDE),
+                    mask_mode=_mask_plan()[0])
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
@@ -230,14 +237,13 @@ class TPUDetector:
         """One fused program running EVERY pyramid level (+flip batch) from
         the single uploaded raw image — one dispatch and one readback per
         image instead of one per level. key = (H0b, W0b,
-        ((hb, wb), ...per level), flip[, vote_method])."""
+        ((hb, wb), ...per level), flip, vote_method|None, mask_mode)."""
         if key in self._compiled_dev:
             self._compiled_dev.move_to_end(key)
             return self._compiled_dev[key]
         if len(self._compiled_dev) >= self._max_programs:
             self._compiled_dev.popitem(last=False)
-        H0b, W0b, level_buckets, flip = key[:4]
-        vote_method = key[4] if len(key) > 4 else None
+        H0b, W0b, level_buckets, flip, vote_method = key[:5]
         run = self._build_run(level_buckets, flip, vote_method)
 
         if self.spatial_mesh is not None:
@@ -269,7 +275,8 @@ class TPUDetector:
             out = detector_mod.forward(
                 params, x, spec, compute_dtype=cd,
                 valid_hw=(valid_h * detector_mod.FEAT_STRIDE,
-                          valid_w * detector_mod.FEAT_STRIDE))
+                          valid_w * detector_mod.FEAT_STRIDE),
+                mask_mode=_mask_plan()[0])
             return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
                                       min_size, score_thresh)
 
@@ -286,8 +293,9 @@ class TPUDetector:
         h16 = _round_up(im_h, cfg.MAX_RESOLUTION)
         w16 = _round_up(im_w, cfg.MAX_RESOLUTION)
         bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
-        hb = _round_up(h16, bucket)
-        wb = _round_up(w16, bucket)
+        margin = _mask_plan()[1]
+        hb = _round_up(h16 + margin, bucket)
+        wb = _round_up(w16 + margin, bucket)
         x = np.zeros((b, hb, wb, 3), dtype=np.float32)
         for i, im in enumerate(ims):
             x[i, :im_h, :im_w] = im
@@ -331,22 +339,24 @@ class TPUDetector:
         W0b = _round_up(w0, bucket)
         padded = np.pad(im, ((0, H0b - h0), (0, W0b - w0), (0, 0)),
                         mode="edge")
+        mask_mode, margin = _mask_plan()
         hs_l, ws_l, vh_l, vw_l, buckets = [], [], [], [], []
         for scale in pyramid_scales:
             h_s = int(round(h0 * scale))
             w_s = int(round(w0 * scale))
             hs_l.append(h_s)
             ws_l.append(w_s)
-            vh_l.append(_round_up(h_s, cfg.MAX_RESOLUTION)
-                        // detector_mod.FEAT_STRIDE)
-            vw_l.append(_round_up(w_s, cfg.MAX_RESOLUTION)
-                        // detector_mod.FEAT_STRIDE)
+            v_h = _round_up(max(h_s, 1), cfg.MAX_RESOLUTION)
+            v_w = _round_up(max(w_s, 1), cfg.MAX_RESOLUTION)
+            vh_l.append(v_h // detector_mod.FEAT_STRIDE)
+            vw_l.append(v_w // detector_mod.FEAT_STRIDE)
+            # +margin: the band_margin fast path needs bucket ≥ valid+32
             buckets.append((
-                _round_up(max(h_s, cfg.MAX_RESOLUTION), bucket),
-                _round_up(max(w_s, cfg.MAX_RESOLUTION), bucket)))
-        key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP))
-        if self.device_vote:
-            key = key + (str(cfg.TEST.NMS_METHOD),)
+                _round_up(max(v_h + margin, cfg.MAX_RESOLUTION), bucket),
+                _round_up(max(v_w + margin, cfg.MAX_RESOLUTION), bucket)))
+        vote_method = str(cfg.TEST.NMS_METHOD) if self.device_vote else None
+        key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP),
+               vote_method, mask_mode)
         return {
             "padded": padded,
             "key": key,
@@ -401,15 +411,15 @@ class TPUDetector:
             return self._compiled_dev[bkey]
         if len(self._compiled_dev) >= self._max_programs:
             self._compiled_dev.popitem(last=False)
-        level_buckets, flip = key[2], key[3]
-        vote_method = key[4] if len(key) > 4 else None
+        level_buckets, flip, vote_method = key[2], key[3], key[4]
         run = self._build_run(level_buckets, flip, vote_method)
         fn = jax.jit(jax.vmap(
             run, in_axes=(None, 0, 0, 0, 0, 0, 0, None, None, None)))
         self._compiled_dev[bkey] = fn
         return fn
 
-    def detect_many(self, ims, thresh=0.05, score_thresh=None):
+    def detect_many(self, ims, thresh=0.05, score_thresh=None,
+                    max_batch=None):
         """Batched multi-image detection: images sharing a pyramid bucket
         run as ONE device program over a batch axis — the whole point of a
         large-batch accelerator; the reference could only shard images
@@ -420,7 +430,9 @@ class TPUDetector:
         shift the last float ulps). Images of different padded shapes fall
         into separate groups (each its own compiled program); callers
         wanting a bounded program count should bucket inputs by size.
-        Returns a list of cls_dets in input order."""
+        max_batch bounds the images per dispatch (a full 5-level pyramid
+        ×flip at WIDER sizes peaks ~5 GB HBM per image — B=3 exceeds a
+        v5e's 16 GB). Returns a list of cls_dets in input order."""
         assert self.spatial_mesh is None, (
             "detect_many batches per chip; use one detector per chip for "
             "spatial sharding")
@@ -432,7 +444,18 @@ class TPUDetector:
         st = jnp.float32(score_thresh if score_thresh is not None
                          else cfg.TEST.SCORE_THRESH)
         results = [None] * len(preps)
-        for key, idxs in groups.items():
+        if max_batch and max_batch > 0:
+            chunked = {}
+            for key, idxs in groups.items():
+                for c in range(0, len(idxs), max_batch):
+                    chunked[key + ("chunk", c)] = (key,
+                                                   idxs[c:c + max_batch])
+            groups = {k: v[1] for k, v in chunked.items()}
+            keys_of = {k: v[0] for k, v in chunked.items()}
+        else:
+            keys_of = {k: k for k in groups}
+        for gkey, idxs in groups.items():
+            key = keys_of[gkey]
             fn = self._pyramid_program_batched(key, len(idxs))
             stack = lambda name: jnp.asarray(
                 np.stack([preps[i][name] for i in idxs]))

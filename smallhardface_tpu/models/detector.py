@@ -230,7 +230,46 @@ def forward_flops(spec: ModelSpec, h, w, batch=1):
     return batch * total
 
 
-def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):
+def mask_plan(cfg_mode: str):
+    """(forward mask_mode, bucket margin px) for a TPU.MASK_MODE value.
+    "band" requires callers to bucket with ≥32 px of padding beyond the
+    valid extent, unlocking the zero-slab "band_margin" fast path."""
+    if cfg_mode == "band":
+        return "band_margin", 32
+    return cfg_mode, 0
+
+
+def _zero_band(h, v, width, axis, margin_ok=False):
+    """Zero positions [v, v+width) of spatial ``axis`` (1=H, 2=W).
+
+    v is a traced scalar ≤ h.shape[axis]; positions < v are preserved even
+    when the clamp makes the slice window overlap them (v near the end).
+
+    margin_ok=True asserts the caller guarantees v + width <= size, so the
+    update slab is a pure zeros constant: the dynamic-update-slice then has
+    a single use of ``h`` and XLA performs it in place (no read-modify
+    dynamic-slice, no full-buffer copy)."""
+    size = h.shape[axis]
+    width = min(int(width), size)
+    starts = [jnp.int32(0)] * 4
+    sizes = list(h.shape)
+    sizes[axis] = width
+    if margin_ok:
+        starts[axis] = jnp.asarray(v, jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            h, jnp.zeros(tuple(sizes), h.dtype), tuple(starts))
+    start = jnp.clip(jnp.asarray(v, jnp.int32), 0, size - width)
+    starts[axis] = start
+    slab = jax.lax.dynamic_slice(h, tuple(starts), tuple(sizes))
+    shape = [1, 1, 1, 1]
+    shape[axis] = width
+    keep = ((start + jnp.arange(width)) < v).reshape(shape)
+    slab = jnp.where(keep, slab, jnp.zeros((), h.dtype))
+    return jax.lax.dynamic_update_slice(h, slab, tuple(starts))
+
+
+def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
+            mask_mode="band"):
     """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
     of 16. Returns dict with:
       cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
@@ -244,8 +283,32 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):
     padding at every conv (net blobs end at H16/stride); without masking,
     conv biases make the bucket-padded region nonzero (relu(bias)) and
     those activations bleed back inside the valid extent through the
-    receptive field. Masking every stage's output back to zero beyond
-    valid/stride reproduces the reference's implicit zero padding exactly.
+    receptive field.
+
+    mask_mode selects how that implicit zero padding is reproduced:
+      "band" (default): zero only the receptive-field band just outside
+        the valid extent before each spatial conv (width = the conv's
+        dilation; 1×1 convs and the 2×2 pools need none — valid extents
+        are ×16 so they stay even at every pooled stride and pooling
+        windows never straddle the boundary). Values INSIDE the valid
+        extent are bit-identical to the "where" mode by construction —
+        a conv output at an inside position only reads ≤ dilation
+        positions past the boundary — while the garbage that accumulates
+        deeper in the padding region is never read by anything (the
+        decode/targets stages mask by valid grid extent).
+      "band_margin": like "band" but the caller guarantees
+        valid + width·stride ≤ bucket (≥32 input px of bucket padding,
+        see detect._prep / train_loop.assemble_batch), so each band is a
+        pure zeros dynamic-update-slice with no read-modify slice.
+        Measured at 1408×1920 (PERF_NOTES.md): masking overhead drops
+        from ~10 ms ("where": the shared 2-D mask pins fusion layouts
+        and XLA inserts full-tensor layout-conversion copies around
+        every conv, +8.9 GB HBM bytes) to ~4 ms (+7.2 GB worth of
+        remaining dynamic-update-slice copies).
+      "where": round-1 behavior — re-zero the whole padded region after
+        every stage (kept as the belt-and-braces fallback; TPU.MASK_MODE).
+    Either way outputs beyond valid_hw//8 must be treated as garbage;
+    consumers (ops.decode, train.targets) already mask by valid extent.
     """
     cd = compute_dtype
     if cd is not None:
@@ -253,9 +316,11 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):
 
     stride = [1]
     _mask_cache = {}
+    use_band = mask_mode in ("band", "band_margin")
+    margin_ok = (mask_mode == "band_margin")
 
     def mask(h):
-        if valid_hw is None:
+        if valid_hw is None or use_band:
             return h
         s = stride[0]
         hh, ww = h.shape[1], h.shape[2]
@@ -267,10 +332,18 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):
                                 (xs < valid_hw[1] // s))[None, :, :, None]
         return jnp.where(_mask_cache[key], h, jnp.zeros((), h.dtype))
 
+    def band(h, reach):
+        """Clean the conv-input band [valid, valid+reach) at this stride."""
+        if valid_hw is None or not use_band:
+            return h
+        s = stride[0]
+        h = _zero_band(h, valid_hw[0] // s, reach, 1, margin_ok=margin_ok)
+        return _zero_band(h, valid_hw[1] // s, reach, 2, margin_ok=margin_ok)
+
     def cbr(h, name, dilation=1):
         pad = dilation  # 3x3 kernels throughout
         return mask(jax.nn.relu(conv2d(
-            h, params[name]["w"], params[name]["b"],
+            band(h, dilation), params[name]["w"], params[name]["b"],
             dilation=dilation, padding=pad, compute_dtype=cd)))
 
     h = mask(x)
@@ -286,7 +359,7 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):
     f5 = mask(jax.nn.relu(conv2d(
         feats["conv5"], params["conv5_256"]["w"], params["conv5_256"]["b"],
         padding=0, compute_dtype=cd)))
-    up = upsample2x_bilinear(f5, params["conv5_256_up"]["w"])
+    up = upsample2x_bilinear(band(f5, 1), params["conv5_256_up"]["w"])
     stride[0] //= 2                       # back to the stride-8 grid
     f4 = feats["conv4"]
     fuse = jnp.concatenate([mask(up), jax.nn.relu(conv2d(
@@ -299,6 +372,7 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None):
     A = spec.num_anchors
     if spec.different_dilation:
         ff = cbr(ff, "conv4_fuse_final_dim_red")
+        ff = band(ff, max(HEAD_DILATIONS))  # one clean band serves all heads
         cls_list, box_list = [], []
         for k, d in zip(ANCHOR_SCALES, HEAD_DILATIONS):
             hd = jax.nn.relu(conv2d(

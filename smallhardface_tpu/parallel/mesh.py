@@ -22,14 +22,24 @@ _distributed_initialized = False
 def maybe_init_distributed():
     """Initialize multi-host JAX when launched under a pod launcher
     (env-driven, a no-op on single host). Exceeds reference parity — the
-    reference was single-node only (SURVEY.md §2.3) — but gives the same
-    train step DCN-spanning meshes for free: `jax.devices()` then returns
-    the global device set and the psum rides ICI within each slice."""
+    reference was single-node only (SURVEY.md §2.3). After this,
+    `jax.devices()` returns the GLOBAL device set, so `make_mesh` builds a
+    DCN-spanning mesh and collectives cross processes (tested by
+    tests/test_multihost.py with 2 CPU processes over gloo). NOTE the
+    per-iteration host data path is per-controller: each process must feed
+    its OWN addressable shard (jax.make_array_from_process_local_data);
+    `shard_batch`/`replicate` device_put full host arrays and are
+    single-controller helpers."""
     import os
     global _distributed_initialized
     if _distributed_initialized:
         return
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # env check only: jax.default_backend() would initialize the
+        # backend, which must not happen before distributed.initialize
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            # cross-process collectives on the CPU backend go through gloo
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),

@@ -68,18 +68,29 @@ def main():
     flops = dm.forward_flops(spec, h, w)
 
     results = {}
-    for label, cd, masked in (
-            ("fwd_fp32_masked", None, True),
-            ("fwd_fp32_unmasked", None, False),
-            ("fwd_bf16_masked", jnp.bfloat16, True),
-            ("fwd_bf16_unmasked", jnp.bfloat16, False)):
-        vh = (h, w) if masked else None
-
-        def run(p, xx):
-            return dm.forward(p, xx, spec, compute_dtype=cd, valid_hw=vh)
+    # masking variants: traced valid scalars, exactly like the production
+    # programs (a Python-int valid would constant-fold the mask at trace
+    # time and misrepresent the cost). valid = size-32 (the band_margin
+    # bucket contract; representative for the others too).
+    vh_t, vw_t = jnp.int32(h - 32), jnp.int32(w - 32)
+    for label, cd, mode in (
+            ("fwd_fp32_where", None, "where"),
+            ("fwd_fp32_band", None, "band"),
+            ("fwd_fp32_band_margin", None, "band_margin"),
+            ("fwd_fp32_unmasked", None, None),
+            ("fwd_bf16_where", jnp.bfloat16, "where"),
+            ("fwd_bf16_band_margin", jnp.bfloat16, "band_margin"),
+            ("fwd_bf16_unmasked", jnp.bfloat16, None)):
+        if mode is None:
+            def run(p, xx, vh, vw, cd=cd):
+                return dm.forward(p, xx, spec, compute_dtype=cd)
+        else:
+            def run(p, xx, vh, vw, cd=cd, mode=mode):
+                return dm.forward(p, xx, spec, compute_dtype=cd,
+                                  valid_hw=(vh, vw), mask_mode=mode)
 
         fn = jax.jit(run)
-        wall = _timed(fn, (params, x), args.iters)
+        wall = _timed(fn, (params, x, vh_t, vw_t), args.iters)
         results[label] = {
             "ms": round(wall * 1e3, 2),
             "tflops_s": round(flops / wall / 1e12, 1),

@@ -110,7 +110,8 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
         out = detector_mod.forward(
             params, x[None], spec, compute_dtype=compute_dtype,
             valid_hw=(valid_hw[0] * detector_mod.FEAT_STRIDE,
-                      valid_hw[1] * detector_mod.FEAT_STRIDE))
+                      valid_hw[1] * detector_mod.FEAT_STRIDE),
+            mask_mode=detector_mod.mask_plan(str(cfg.TPU.MASK_MODE))[0])
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
         bg_prob = lax.stop_gradient(
@@ -197,7 +198,11 @@ def assemble_batch(samples, n_dev, iter_size, gt_buckets):
     (arrays dict, im_idx list, bucket key)."""
     hmax = max(s["height"] for s in samples)
     wmax = max(s["width"] for s in samples)
-    hb, wb = _snap(hmax, BUCKET), _snap(wmax, BUCKET)
+    # the band_margin masking fast path needs bucket ≥ valid extent + 32 px
+    # (models/detector.py forward docstring); valid ≤ snap16(max extent)
+    margin = detector_mod.mask_plan(str(cfg.TPU.MASK_MODE))[1]
+    hb = _snap(_snap(hmax, cfg.MAX_RESOLUTION) + margin, BUCKET)
+    wb = _snap(_snap(wmax, cfg.MAX_RESOLUTION) + margin, BUCKET)
     h0max = max(s["data"].shape[0] for s in samples)
     w0max = max(s["data"].shape[1] for s in samples)
     h0b, w0b = _snap(h0max, BUCKET), _snap(w0max, BUCKET)

@@ -39,6 +39,10 @@ def test_detect_many_matches_detect(rng, many_cfg):
     for one, many in zip(singles, batched):
         assert one[0].shape == many[0].shape
         np.testing.assert_allclose(many[0], one[0], rtol=1e-5, atol=1e-4)
+    # max_batch chunking (HBM bound on real chips) keeps order + values
+    chunked = det.detect_many(ims, thresh=0.05, max_batch=2)
+    for one, many in zip(singles, chunked):
+        np.testing.assert_allclose(many[0], one[0], rtol=1e-5, atol=1e-4)
 
 
 def test_detect_many_matches_host_vote_path(rng, many_cfg):

@@ -87,12 +87,23 @@ def test_param_multipliers():
     assert lr["conv5_256_up"]["w"] == 0.0
 
 
-def test_bucket_padding_parity():
+@pytest.mark.parametrize("mask_mode", ["where", "band", "band_margin"])
+@pytest.mark.parametrize("h16,w16,hb,wb", [
+    (48, 80, 128, 128),   # generous padding
+    (48, 80, 48, 96),     # valid == bucket in H (band slice start clamps)
+    (48, 80, 48, 80),     # valid == bucket in both (masking is a no-op)
+])
+def test_bucket_padding_parity(mask_mode, h16, w16, hb, wb):
+    if mask_mode == "band_margin" and (hb < h16 + 32 or wb < w16 + 32):
+        pytest.skip("band_margin requires callers to bucket with a "
+                    "32 px margin (detect._prep / assemble_batch do)")
     """A bucket-padded input with valid_hw masking must produce exactly the
     same features inside the valid grid as the exact ×16-sized input —
     conv biases otherwise leak relu(bias) activations from the padded
     region into valid cells near the boundary (the reference only ever
-    pads to ×16 and sees implicit zeros at every conv)."""
+    pads to ×16 and sees implicit zeros at every conv). Both mask modes
+    ("where" = full-region re-zeroing, "band" = receptive-field band
+    zeroing) must agree with the exact forward bit-for-bit inside valid."""
     spec = detector.ModelSpec(different_dilation=True)
     params = detector.init_params(jax.random.PRNGKey(3), spec)
     # pretrained conv biases are nonzero — that's what leaks; random init
@@ -102,16 +113,15 @@ def test_bucket_padding_parity():
         if "b" in leaf:
             leaf["b"] = 0.5 * jax.random.normal(key, leaf["b"].shape)
     rng = np.random.RandomState(0)
-    h16, w16 = 48, 80
     x = rng.randn(1, h16, w16, 3).astype(np.float32) * 30
 
     exact = detector.forward(params, jnp.asarray(x), spec)
 
-    hb, wb = 128, 128
     xp = np.zeros((1, hb, wb, 3), np.float32)
     xp[:, :h16, :w16] = x
     padded = detector.forward(params, jnp.asarray(xp), spec,
-                              valid_hw=(jnp.int32(h16), jnp.int32(w16)))
+                              valid_hw=(jnp.int32(h16), jnp.int32(w16)),
+                              mask_mode=mask_mode)
 
     gh, gw = h16 // 8, w16 // 8
     np.testing.assert_allclose(
@@ -121,12 +131,13 @@ def test_bucket_padding_parity():
         np.asarray(padded["bbox_deltas"])[:, :gh, :gw],
         np.asarray(exact["bbox_deltas"]), rtol=1e-4, atol=1e-4)
 
-    # and WITHOUT masking the leak is real (guards against the mask
-    # becoming a silent no-op)
-    leaky = detector.forward(params, jnp.asarray(xp), spec)
-    diff = np.abs(np.asarray(leaky["cls_logits"])[:, :gh, :gw] -
-                  np.asarray(exact["cls_logits"])).max()
-    assert diff > 1e-3, "expected boundary leak without masking"
+    if hb > h16:
+        # and WITHOUT masking the leak is real (guards against the mask
+        # becoming a silent no-op)
+        leaky = detector.forward(params, jnp.asarray(xp), spec)
+        diff = np.abs(np.asarray(leaky["cls_logits"])[:, :gh, :gw] -
+                      np.asarray(exact["cls_logits"])).max()
+        assert diff > 1e-3, "expected boundary leak without masking"
 
 
 def test_flip_equivariance():
