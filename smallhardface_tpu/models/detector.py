@@ -92,8 +92,11 @@ def param_shapes(spec: ModelSpec):
             shapes[f"{stage}_{i}"] = {"w": (3, 3, in_c, out_c), "b": (out_c,)}
             in_c = out_c
     lat = spec.lateral_channels
-    shapes["conv5_256"] = {"w": (1, 1, 512, lat), "b": (lat,)}
-    shapes["conv4_256"] = {"w": (1, 1, 512, lat), "b": (lat,)}
+    stage_out = {stage: out_c for stage, out_c, _ in VGG_STAGES}
+    shapes["conv5_256"] = {"w": (1, 1, stage_out["conv5"], lat),
+                           "b": (lat,)}
+    shapes["conv4_256"] = {"w": (1, 1, stage_out["conv4"], lat),
+                           "b": (lat,)}
     shapes["conv5_256_up"] = {"w": (4, 4, 1, lat)}
     shapes["conv4_fuse_final"] = {
         "w": (3, 3, 2 * lat, spec.fuse_channels), "b": (spec.fuse_channels,)}
