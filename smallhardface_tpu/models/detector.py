@@ -233,11 +233,19 @@ def forward_flops(spec: ModelSpec, h, w, batch=1):
     return batch * total
 
 
-def mask_plan(cfg_mode: str):
+def mask_plan(cfg_mode: str, train: bool = False):
     """(forward mask_mode, bucket margin px) for a TPU.MASK_MODE value.
-    "band" requires callers to bucket with ≥32 px of padding beyond the
-    valid extent, unlocking the zero-slab "band_margin" fast path."""
+
+    Inference under "band" buckets with ≥32 px of padding beyond the valid
+    extent, unlocking the zero-slab "band_margin" fast path (62 vs 68 ms
+    at 1408×1920, PERF_NOTES.md). Training keeps "where" even when "band"
+    is configured: the margin bumps the 128-px train buckets ~31 % of the
+    pixels at the reference 768×1024 shape, and the dynamic-update-slice
+    BACKWARD adds layout-copy passes — measured 266 ms vs 127 ms per step
+    (perf_probe --train). Inside-valid values are identical either way."""
     if cfg_mode == "band":
+        if train:
+            return "where", 0
         return "band_margin", 32
     return cfg_mode, 0
 

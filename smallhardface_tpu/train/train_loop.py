@@ -111,7 +111,8 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
             params, x[None], spec, compute_dtype=compute_dtype,
             valid_hw=(valid_hw[0] * detector_mod.FEAT_STRIDE,
                       valid_hw[1] * detector_mod.FEAT_STRIDE),
-            mask_mode=detector_mod.mask_plan(str(cfg.TPU.MASK_MODE))[0])
+            mask_mode=detector_mod.mask_plan(
+                str(cfg.TPU.MASK_MODE), train=True)[0])
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
         bg_prob = lax.stop_gradient(
@@ -198,9 +199,9 @@ def assemble_batch(samples, n_dev, iter_size, gt_buckets):
     (arrays dict, im_idx list, bucket key)."""
     hmax = max(s["height"] for s in samples)
     wmax = max(s["width"] for s in samples)
-    # the band_margin masking fast path needs bucket ≥ valid extent + 32 px
-    # (models/detector.py forward docstring); valid ≤ snap16(max extent)
-    margin = detector_mod.mask_plan(str(cfg.TPU.MASK_MODE))[1]
+    # margin is 0 for training (mask_plan train=True keeps "where": the
+    # band path's margin + dus backward cost more than they save here)
+    margin = detector_mod.mask_plan(str(cfg.TPU.MASK_MODE), train=True)[1]
     hb = _snap(_snap(hmax, cfg.MAX_RESOLUTION) + margin, BUCKET)
     wb = _snap(_snap(wmax, cfg.MAX_RESOLUTION) + margin, BUCKET)
     h0max = max(s["data"].shape[0] for s in samples)
