@@ -103,3 +103,28 @@ def upsample2x_bilinear(x, w):
 
 def softmax2(logits, axis=-1):
     return jax.nn.softmax(logits, axis=axis)
+
+
+def normalize_l2(x, scale, *, across_spatial=True, eps=1e-10):
+    """SSD NormalizeLayer (fork-added, proto id 149): L2-normalize then
+    multiply by a learnable scale
+    (/root/reference/caffe/src/caffe/layers/normalize_layer.cpp:85-130,
+    proto defaults caffe.proto:896-904). Unused by the shipped templates;
+    provided for model-surgery parity with the vendored fork's layer zoo.
+
+    x: (B, H, W, C) NHWC (the reference is NCHW; channels = last here).
+    scale: scalar () for channel_shared=true, else (C,).
+    across_spatial=True normalizes each sample over all of H·W·C;
+    False normalizes each spatial position across channels. eps is added
+    to the squared sum before the square root, as in the reference.
+    """
+    axes = (1, 2, 3) if across_spatial else (-1,)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True) + eps)
+    return (x / norm) * scale
+
+
+def permute(x, order):
+    """SSD PermuteLayer (fork-added, proto id 150): generic axis
+    permutation (/root/reference/caffe/src/caffe/layers/permute_layer.cpp:
+    8-45). Unused by the shipped templates; equals jnp.transpose."""
+    return jnp.transpose(x, order)

@@ -5,7 +5,8 @@ import pytest
 
 from smallhardface_tpu.models import detector
 from smallhardface_tpu.models.layers import (
-    bilinear_kernel, upsample2x_bilinear, max_pool_2x2, conv2d)
+    bilinear_kernel, upsample2x_bilinear, max_pool_2x2, conv2d,
+    normalize_l2, permute)
 
 
 def test_bilinear_kernel_factor2():
@@ -36,6 +37,39 @@ def test_max_pool_ceil_mode():
     assert y.shape == (1, 3, 3, 1)     # ceil(5/2), ceil(6/2)
     x2 = jnp.arange(4.0 * 4).reshape(1, 4, 4, 1)
     assert max_pool_2x2(x2).shape == (1, 2, 2, 1)
+
+
+def test_normalize_l2_matches_reference_math():
+    """SSD NormalizeLayer semantics (normalize_layer.cpp:85-130): L2 norm
+    with eps inside the sqrt, then a shared or per-channel scale."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 4, 5).astype(np.float32)
+
+    # across_spatial + channel_shared: one norm per sample, scalar scale
+    out = np.asarray(normalize_l2(jnp.asarray(x), jnp.float32(2.0),
+                                  across_spatial=True))
+    want = np.stack([2.0 * x[n] / np.sqrt((x[n] ** 2).sum() + 1e-10)
+                     for n in range(2)])
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+    # per-position norm across channels, per-channel scale
+    sc = np.array([0.5, 1.0, 2.0, 3.0, 4.0], np.float32)
+    out = np.asarray(normalize_l2(jnp.asarray(x), jnp.asarray(sc),
+                                  across_spatial=False))
+    norm = np.sqrt((x ** 2).sum(-1, keepdims=True) + 1e-10)
+    np.testing.assert_allclose(out, x / norm * sc, rtol=1e-6)
+
+    # a zero input must not divide by zero (the eps's whole job)
+    z = np.asarray(normalize_l2(jnp.zeros((1, 2, 2, 3)), jnp.float32(1.0)))
+    assert np.isfinite(z).all() and (z == 0).all()
+
+
+def test_permute_is_axis_transpose():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 4, 5).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(permute(jnp.asarray(x), (0, 3, 1, 2))),
+        x.transpose(0, 3, 1, 2))
 
 
 def test_conv2d_matches_numpy_direct():
