@@ -3,8 +3,11 @@
 for where the masking wall-time goes (copies? broken fusions? extra
 kernels?). Compile-only: no data transfer, safe through the tunnel."""
 import collections
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -153,6 +153,46 @@ def test_regenerate_golden_from_oracle(golden_cfg):
     assert dets.shape[0] > 5, "oracle produced too few detections"
 
 
+def test_full_detect_bfloat16_drift_bounded(golden_cfg):
+    """TPU.PRECISION='bfloat16' end-to-end drift vs the float64-oracle
+    fixture, quantified: detections must still correspond 1:1 at a loose
+    IoU/score tolerance. (The tight fp32 bound lives in
+    test_full_detect_matches_golden; bf16 activations carry ~1e-2 relative
+    noise through 15 convs, which moves near-threshold scores.)
+
+    Measured on this fixture: ~95% of golden detections have a bf16
+    counterpart, ~82% the other way — the random-init weights are the
+    WORST case (scores cluster at the detect threshold where bf16 noise
+    flips membership, spawning borderline extras); a trained model's
+    bimodal scores drift far less. Bounds set with margin below the
+    measured values to catch real regressions, not noise."""
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden_detect.npz not generated yet")
+    golden = np.load(GOLDEN)["dets"]
+    im, spec, params = _fixture_inputs()
+    saved = cfg.TPU.PRECISION
+    cfg.TPU.PRECISION = "bfloat16"
+    try:
+        from smallhardface_tpu.detect import TPUDetector
+        dets = TPUDetector(params, spec).detect(im, thresh=THRESH)[0][0]
+    finally:
+        cfg.TPU.PRECISION = saved
+
+    def loose_match(a, b):
+        if len(a) == 0:
+            return 1.0 if len(b) == 0 else 0.0
+        iou = bbox_np.bbox_overlaps(a[:, :4], b[:, :4])
+        best = iou.argmax(axis=1)
+        ok = (iou[np.arange(len(a)), best] > 0.6) & (
+            np.abs(a[:, 4] - b[best, 4]) < 0.1)
+        return float(ok.mean())
+
+    assert abs(dets.shape[0] - golden.shape[0]) <= max(
+        3, 0.15 * golden.shape[0])
+    assert loose_match(golden, dets) >= 0.85
+    assert loose_match(dets, golden) >= 0.75
+
+
 def test_full_detect_matches_golden(golden_cfg):
     """Production fused-device pipeline vs the independent oracle fixture:
     every golden detection must have a device counterpart and vice versa."""
