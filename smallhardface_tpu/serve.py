@@ -33,12 +33,27 @@ logger = logging.getLogger(__name__)
 
 
 class DetectorService:
-    """Thread-safe wrapper over TPUDetector's async pipeline."""
+    """Thread-safe wrapper over TPUDetector's async pipeline.
 
-    def __init__(self, params, spec):
+    batch_window_ms > 0 turns on cross-client micro-batching: requests
+    arriving within the window are grouped and same-bucket images run as
+    ONE batched device program (detect_many) — the large-batch lever a
+    v5e wants (2.7× per image at B=4 on-chip, PERF_NOTES.md) that the
+    per-request pipeline can't reach. Detections are numerically
+    equivalent to the unbatched path (tests/test_serve.py). max_batch
+    bounds images per dispatch (HBM: ~5 GB per full-pyramid image)."""
+
+    def __init__(self, params, spec, batch_window_ms=0, max_batch=2):
         from smallhardface_tpu.detect import TPUDetector
         self.det = TPUDetector(params, spec)
         self._dispatch_lock = threading.Lock()
+        self.batch_window = float(batch_window_ms) / 1e3
+        self.max_batch = int(max_batch)
+        self._queue = None
+        if self.batch_window > 0:
+            import queue
+            self._queue = queue.Queue()
+            threading.Thread(target=self._batch_loop, daemon=True).start()
 
     def warmup(self, shape=(480, 640)):
         import cv2
@@ -51,10 +66,49 @@ class DetectorService:
         im = cv2.imdecode(arr, cv2.IMREAD_COLOR)
         if im is None:
             raise ValueError("could not decode image")
+        if self._queue is not None:
+            ev, slot = threading.Event(), {}
+            self._queue.put((im, float(thresh), ev, slot))
+            ev.wait()
+            if "error" in slot:
+                raise slot["error"]
+            return slot["dets"]
         with self._dispatch_lock:
             handle = self.det.detect_async(im, thresh)
         dets = self.det.finalize_async(handle, thresh)[0]
         return dets
+
+    def _batch_loop(self):
+        import queue
+        import time
+        while True:
+            batch = [self._queue.get()]
+            deadline = time.time() + self.batch_window
+            while len(batch) < self.max_batch:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=left))
+                except queue.Empty:
+                    break
+            by_thresh = {}
+            for item in batch:
+                by_thresh.setdefault(item[1], []).append(item)
+            for thresh, items in by_thresh.items():
+                try:
+                    with self._dispatch_lock:
+                        results = self.det.detect_many(
+                            [it[0] for it in items], thresh,
+                            max_batch=self.max_batch)
+                except Exception as e:       # surface to every waiter
+                    for _, _, ev, slot in items:
+                        slot["error"] = e
+                        ev.set()
+                    continue
+                for (_, _, ev, slot), dets in zip(items, results):
+                    slot["dets"] = dets[0]
+                    ev.set()
 
 
 def make_handler(service):
@@ -129,6 +183,10 @@ def main():
     p.add_argument("--model", default="")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--batch-window-ms", type=float, default=0,
+                   help="cross-client micro-batch window; 0 = per-request")
+    p.add_argument("--max-batch", type=int, default=2,
+                   help="images per batched dispatch (HBM bound)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -143,7 +201,9 @@ def main():
     from smallhardface_tpu.test_runner import _load_params
     spec = dm.build_spec(cfg)
     params = _load_params(spec)
-    service = DetectorService(params, spec)
+    service = DetectorService(params, spec,
+                              batch_window_ms=args.batch_window_ms,
+                              max_batch=args.max_batch)
     logger.info("warming up...")
     service.warmup()
     server = serve(service, args.host, args.port)

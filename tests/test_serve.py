@@ -83,3 +83,35 @@ def test_concurrent_requests(server):
         t.join()
     assert len(results) == 4
     assert len(set(results)) == 1      # same image → same count
+
+
+def test_micro_batching_matches_per_request(server):
+    """Cross-client micro-batching (batch_window_ms>0) groups concurrent
+    requests into one detect_many dispatch and returns detections
+    numerically equivalent to the per-request path."""
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    plain = serve_mod.DetectorService(params, spec)
+    batched = serve_mod.DetectorService(params, spec,
+                                        batch_window_ms=120, max_batch=4)
+    payloads = [_jpeg((96, 128)), _jpeg((96, 128)), _jpeg((64, 96))]
+    want = [plain.detect(p) for p in payloads]
+
+    got = [None] * len(payloads)
+
+    def hit(i):
+        got[i] = batched.detect(payloads[i])
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for w, g in zip(want, got):
+        assert w.shape == g.shape
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-4)
+
+    # decode errors must surface to the right caller, not hang the loop
+    with pytest.raises(ValueError):
+        batched.detect(b"not an image")
