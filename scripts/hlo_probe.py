@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Dump compiled-HLO stats for the forward under each mask mode — evidence
 for where the masking wall-time goes (copies? broken fusions? extra
-kernels?). Compile-only: no data transfer, safe through the tunnel."""
+kernels?) — then wall-time the promising variants with real dispatches.
+
+NOT compile-only: the timing section executes on the attached TPU with
+D2H readbacks (first readback can stall minutes through the tunnel).
+Run it alone — never alongside another TPU process (CLAUDE.md)."""
 import collections
 import os
 import re

@@ -264,7 +264,9 @@ class TPUDetector:
 
     def _program(self, shape):
         """Jitted forward+decode for a (B, H, W) padded shape (host-preproc
-        path)."""
+        path). Keyed by (shape, mask_mode): the program bakes the masking
+        strategy in, and band_margin is only safe with margin buckets."""
+        shape = shape + (_mask_plan()[0],)
         if shape in self._compiled:
             return self._compiled[shape]
         spec = self.spec

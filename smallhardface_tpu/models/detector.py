@@ -243,10 +243,13 @@ def mask_plan(cfg_mode: str, train: bool = False):
     pixels at the reference 768×1024 shape, and the dynamic-update-slice
     BACKWARD adds layout-copy passes — measured 266 ms vs 127 ms per step
     (perf_probe --train). Inside-valid values are identical either way."""
-    if cfg_mode == "band":
+    if cfg_mode in ("band", "band_margin"):
         if train:
             return "where", 0
         return "band_margin", 32
+    if cfg_mode != "where":
+        raise ValueError(
+            f"TPU.MASK_MODE must be 'band' or 'where', got {cfg_mode!r}")
     return cfg_mode, 0
 
 

@@ -35,9 +35,14 @@ def maybe_init_distributed():
     if _distributed_initialized:
         return
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        # env check only: jax.default_backend() would initialize the
-        # backend, which must not happen before distributed.initialize
-        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # CPU must be detected WITHOUT initializing the backend
+        # (jax.default_backend() would; distributed.initialize must run
+        # first). Both selection mechanisms count: the env var and
+        # jax.config.update("jax_platforms", "cpu") — the documented way
+        # to force CPU under the axon site package (CLAUDE.md).
+        plat = (os.environ.get("JAX_PLATFORMS") or
+                getattr(jax.config, "jax_platforms", None) or "")
+        if "cpu" in str(plat):
             # cross-process collectives on the CPU backend go through gloo
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(

@@ -128,9 +128,6 @@ def test_param_multipliers():
     (48, 80, 48, 80),     # valid == bucket in both (masking is a no-op)
 ])
 def test_bucket_padding_parity(mask_mode, h16, w16, hb, wb):
-    if mask_mode == "band_margin" and (hb < h16 + 32 or wb < w16 + 32):
-        pytest.skip("band_margin requires callers to bucket with a "
-                    "32 px margin (detect._prep / assemble_batch do)")
     """A bucket-padded input with valid_hw masking must produce exactly the
     same features inside the valid grid as the exact ×16-sized input —
     conv biases otherwise leak relu(bias) activations from the padded
@@ -138,6 +135,9 @@ def test_bucket_padding_parity(mask_mode, h16, w16, hb, wb):
     pads to ×16 and sees implicit zeros at every conv). Both mask modes
     ("where" = full-region re-zeroing, "band" = receptive-field band
     zeroing) must agree with the exact forward bit-for-bit inside valid."""
+    if mask_mode == "band_margin" and (hb < h16 + 32 or wb < w16 + 32):
+        pytest.skip("band_margin requires callers to bucket with a "
+                    "32 px margin (detect._prep / assemble_batch do)")
     spec = detector.ModelSpec(different_dilation=True)
     params = detector.init_params(jax.random.PRNGKey(3), spec)
     # pretrained conv biases are nonzero — that's what leaks; random init
@@ -165,9 +165,9 @@ def test_bucket_padding_parity(mask_mode, h16, w16, hb, wb):
         np.asarray(padded["bbox_deltas"])[:, :gh, :gw],
         np.asarray(exact["bbox_deltas"]), rtol=1e-4, atol=1e-4)
 
-    if hb > h16:
+    if hb > h16 or wb > w16:
         # and WITHOUT masking the leak is real (guards against the mask
-        # becoming a silent no-op)
+        # becoming a silent no-op) — padding in EITHER axis leaks
         leaky = detector.forward(params, jnp.asarray(xp), spec)
         diff = np.abs(np.asarray(leaky["cls_logits"])[:, :gh, :gw] -
                       np.asarray(exact["cls_logits"])).max()
