@@ -166,7 +166,8 @@ class TPUDetector:
                     params, x, spec, compute_dtype=cd,
                     valid_hw=(valid_h[li] * detector_mod.FEAT_STRIDE,
                               valid_w[li] * detector_mod.FEAT_STRIDE),
-                    mask_mode=_mask_plan()[0])
+                    mask_mode=_mask_plan()[0],
+                    s2d_stem=bool(cfg.TPU.S2D_STEM))
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
@@ -278,7 +279,8 @@ class TPUDetector:
                 params, x, spec, compute_dtype=cd,
                 valid_hw=(valid_h * detector_mod.FEAT_STRIDE,
                           valid_w * detector_mod.FEAT_STRIDE),
-                mask_mode=_mask_plan()[0])
+                mask_mode=_mask_plan()[0],
+                s2d_stem=bool(cfg.TPU.S2D_STEM))
             return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
                                       min_size, score_thresh)
 

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from smallhardface_tpu.models.layers import (
-    conv2d, max_pool_2x2, bilinear_kernel, upsample2x_bilinear)
+    conv2d, conv_s2d_3x3, max_pool_2x2, bilinear_kernel,
+    upsample2x_bilinear)
 
 # (name, out_channels, n_convs) per VGG stage; conv1/conv2 are frozen
 # (lr_mult 0 in the templates, models/test_template.prototxt:22-29).
@@ -283,7 +284,7 @@ def _zero_band(h, v, width, axis, margin_ok=False):
 
 
 def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
-            mask_mode="band"):
+            mask_mode="band", s2d_stem=False):
     """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
     of 16. Returns dict with:
       cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
@@ -323,6 +324,14 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         every stage (kept as the belt-and-braces fallback; TPU.MASK_MODE).
     Either way outputs beyond valid_hw//8 must be treated as garbage;
     consumers (ops.decode, train.targets) already mask by valid extent.
+
+    s2d_stem computes conv1_1 in space-to-depth form (layers.conv_s2d_3x3)
+    — an exact regrouping of the same dot products that lifts the MXU
+    contraction from 27 to 108 lanes; the compiled cost model charges
+    plain conv1_1 22 % of the whole forward (tools/layer_time.py).
+    Requires the caller's input to be zero beyond valid_hw (all
+    production callers zero it; the output returns to full-res layout
+    before conv1_2's band, so the masking discipline is unchanged).
     """
     cd = compute_dtype
     if cd is not None:
@@ -356,30 +365,44 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
 
     def cbr(h, name, dilation=1):
         pad = dilation  # 3x3 kernels throughout
-        return mask(jax.nn.relu(conv2d(
-            band(h, dilation), params[name]["w"], params[name]["b"],
-            dilation=dilation, padding=pad, compute_dtype=cd)))
+        # named_scope → per-layer attribution in compiled-HLO metadata
+        # (tools/layer_time.py, the `caffe time` analog); no numeric effect
+        with jax.named_scope(name):
+            return mask(jax.nn.relu(conv2d(
+                band(h, dilation), params[name]["w"], params[name]["b"],
+                dilation=dilation, padding=pad, compute_dtype=cd)))
 
     h = mask(x)
     feats = {}
     for si, (stage, _, n) in enumerate(VGG_STAGES):
         for i in range(1, n + 1):
-            h = cbr(h, f"{stage}_{i}")
+            name = f"{stage}_{i}"
+            if (s2d_stem and name == "conv1_1"
+                    and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0):
+                with jax.named_scope("conv1_1_s2d"):
+                    h = mask(jax.nn.relu(conv_s2d_3x3(
+                        h, params[name]["w"], params[name]["b"],
+                        compute_dtype=cd)))
+                continue
+            h = cbr(h, name)
         feats[stage] = h
         if si < len(VGG_STAGES) - 1:
             h = max_pool_2x2(h)
             stride[0] *= 2
 
-    f5 = mask(jax.nn.relu(conv2d(
-        feats["conv5"], params["conv5_256"]["w"], params["conv5_256"]["b"],
-        padding=0, compute_dtype=cd)))
-    up = upsample2x_bilinear(band(f5, 1), params["conv5_256_up"]["w"])
+    with jax.named_scope("conv5_256"):
+        f5 = mask(jax.nn.relu(conv2d(
+            feats["conv5"], params["conv5_256"]["w"],
+            params["conv5_256"]["b"], padding=0, compute_dtype=cd)))
+    with jax.named_scope("conv5_256_up"):
+        up = upsample2x_bilinear(band(f5, 1), params["conv5_256_up"]["w"])
     stride[0] //= 2                       # back to the stride-8 grid
     f4 = feats["conv4"]
-    fuse = jnp.concatenate([mask(up), jax.nn.relu(conv2d(
-        f4, params["conv4_256"]["w"], params["conv4_256"]["b"],
-        padding=0, compute_dtype=cd))], axis=-1)
-    fuse = mask(fuse)
+    with jax.named_scope("conv4_256"):
+        lat4 = jax.nn.relu(conv2d(
+            f4, params["conv4_256"]["w"], params["conv4_256"]["b"],
+            padding=0, compute_dtype=cd))
+    fuse = mask(jnp.concatenate([mask(up), lat4], axis=-1))
     ff = cbr(fuse, "conv4_fuse_final")
 
     b, hh, ww = ff.shape[0], ff.shape[1], ff.shape[2]
@@ -389,15 +412,18 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         ff = band(ff, max(HEAD_DILATIONS))  # one clean band serves all heads
         cls_list, box_list = [], []
         for k, d in zip(ANCHOR_SCALES, HEAD_DILATIONS):
-            hd = jax.nn.relu(conv2d(
-                ff, params["head"]["w"], params["head"]["b"],
-                dilation=d, padding=d, compute_dtype=cd))
-            cls_list.append(conv2d(
-                hd, params[f"cls_score_{k}"]["w"],
-                params[f"cls_score_{k}"]["b"], padding=0, compute_dtype=cd))
-            box_list.append(conv2d(
-                hd, params[f"bbox_pred_{k}"]["w"],
-                params[f"bbox_pred_{k}"]["b"], padding=0, compute_dtype=cd))
+            with jax.named_scope(f"head_{k}"):
+                hd = jax.nn.relu(conv2d(
+                    ff, params["head"]["w"], params["head"]["b"],
+                    dilation=d, padding=d, compute_dtype=cd))
+                cls_list.append(conv2d(
+                    hd, params[f"cls_score_{k}"]["w"],
+                    params[f"cls_score_{k}"]["b"], padding=0,
+                    compute_dtype=cd))
+                box_list.append(conv2d(
+                    hd, params[f"bbox_pred_{k}"]["w"],
+                    params[f"bbox_pred_{k}"]["b"], padding=0,
+                    compute_dtype=cd))
         cls_logits = jnp.stack(cls_list, axis=3)      # (B,h,w,A,2)
         bbox_deltas = jnp.stack(box_list, axis=3)     # (B,h,w,A,4)
     else:

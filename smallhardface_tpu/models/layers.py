@@ -105,6 +105,64 @@ def softmax2(logits, axis=-1):
     return jax.nn.softmax(logits, axis=axis)
 
 
+def conv_s2d_3x3(x, w, b, *, compute_dtype=None):
+    """3×3 stride-1 SAME conv computed in space-to-depth form — exact
+    re-expression for MXU efficiency on tiny input channel counts.
+
+    A direct 3×3 conv over C=3 contracts only 27 values per output
+    against the MXU's 128 lanes (~21 % utilization): the compiled cost
+    model charges conv1_1 22 % of the whole VGG forward for 0.5 % of its
+    FLOPs (tools/layer_time.py). Regrouped over 2×2 pixel blocks the same
+    dot products become a 3×3 conv on an (H/2, W/2, 4C) grid producing
+    (H/2, W/2, 4·Cout) — contraction 4·9·C (=108 for C=3), nearly a full
+    MXU pass. Each output value is the SAME sum of products (float
+    reassociation only); implicit zero padding maps exactly because H and
+    W are even (×16 bucket shapes), so the s2d grid's halo rows represent
+    precisely the original halo rows.
+
+    x: (B, H, W, C) with H, W even, ZERO beyond any valid extent the
+    caller tracks (the band discipline needs no in-stem masking: the
+    output returns to full-res layout before the next conv's band).
+    w: (3, 3, C, Co). Returns conv+bias at full resolution (B, H, W, Co).
+    """
+    bb, hh, ww, c = x.shape
+    co = w.shape[-1]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    # pack 2×2 pixel blocks into channels: idx = a*(2C) + b*C + ci
+    xs = x.reshape(bb, hh // 2, 2, ww // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(bb, hh // 2, ww // 2, 4 * c)
+    # scatter the 3×3 taps into the equivalent s2d kernel:
+    # full-res tap row r = a + dy - 1 lands in s2d row offset r//2 at
+    # sub-position r%2 (floor division keeps the top halo at offset −1)
+    w2 = jnp.zeros((3, 3, 4 * c, 4 * co), w.dtype)
+    for a in (0, 1):
+        for bcol in (0, 1):
+            for dy in range(3):
+                for dx in range(3):
+                    r, s = a + dy - 1, bcol + dx - 1
+                    ri, ci_sub = r // 2 + 1, r % 2
+                    si, cj_sub = s // 2 + 1, s % 2
+                    w2 = w2.at[
+                        ri, si,
+                        ci_sub * 2 * c + cj_sub * c:
+                        ci_sub * 2 * c + cj_sub * c + c,
+                        (a * 2 + bcol) * co:(a * 2 + bcol + 1) * co,
+                    ].add(w[dy, dx])
+    if compute_dtype is not None:
+        w2 = w2.astype(compute_dtype)
+    out = lax.conv_general_dilated(
+        xs, w2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xs.dtype)
+    if b is not None:
+        out = out + jnp.tile(b, 4).astype(out.dtype)
+    # depth-to-space back to the full-resolution layout
+    return out.reshape(bb, hh // 2, ww // 2, 2, 2, co).transpose(
+        0, 1, 3, 2, 4, 5).reshape(bb, hh, ww, co)
+
+
 def normalize_l2(x, scale, *, across_spatial=True, eps=1e-10):
     """SSD NormalizeLayer (fork-added, proto id 149): L2-normalize then
     multiply by a learnable scale

@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Per-layer timing digestion — the `caffe time` analog for the TPU build.
+
+The reference printed per-layer average forward/backward milliseconds
+(/root/reference/caffe/tools/caffe.cpp:339-427). Traces through the axon
+tunnel carry unreliable timestamps, so instead this digests the COMPILED
+program: the TPU backend annotates every entry-computation op with its
+cost-model `estimated_cycles`, and detector.forward wraps each layer in
+jax.named_scope, so cycles aggregate cleanly by layer. The table reports
+each layer's share of the modeled compute plus its analytic conv FLOPs —
+enough to see where the time goes and how efficiently each layer maps to
+the MXU (the question VERDICT r1 raised about the stem).
+
+Shares are compiler estimates, not measurements; anchor them against the
+measured whole-forward wall from tools/perf_probe.py.
+
+Usage: python -m smallhardface_tpu.tools.layer_time [--size 1408 1920]
+       [--mask-mode band_margin|where|none]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import re
+
+
+def collect_cycles(hlo_text):
+    """{scope: cycles} summed over entry-computation ops, keyed by the
+    first named_scope component of the op metadata (else the op name)."""
+    per_scope = collections.Counter()
+    # entry ops carry both metadata and a backend_config with
+    # estimated_cycles; fusion-internal ops carry no backend_config
+    pat = re.compile(
+        r'metadata={op_name="jit\(run\)/([^"]+)".*?'
+        r'"estimated_cycles":"(\d+)"')
+    for m in pat.finditer(hlo_text):
+        path, cycles = m.group(1), int(m.group(2))
+        scope = path.split("/")[0]
+        per_scope[scope] += cycles
+    return per_scope
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, nargs=2, default=[1408, 1920])
+    ap.add_argument("--mask-mode", default="band_margin",
+                    choices=["band_margin", "band", "where", "none"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from smallhardface_tpu.models import detector as dm
+
+    h, w = args.size
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(3), spec)
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    if args.mask_mode == "none":
+        def run(p, xx, vh, vw):
+            return dm.forward(p, xx, spec)
+    else:
+        def run(p, xx, vh, vw, mode=args.mask_mode):
+            return dm.forward(p, xx, spec, valid_hw=(vh, vw),
+                              mask_mode=mode)
+
+    compiled = jax.jit(run).lower(
+        params, x, jnp.int32(h - 32), jnp.int32(w - 32)).compile()
+    per_scope = collect_cycles(compiled.as_text())
+    total = sum(per_scope.values())
+
+    shapes = dm.param_shapes(spec)
+    import math
+
+    def layer_flops(name, s):
+        if name not in shapes or "w" not in shapes[name]:
+            return None
+        kh, kw, ci, co = (list(shapes[name]["w"]) + [1])[:4]
+        hs, ws = math.ceil(h / s), math.ceil(w / s)
+        return 2.0 * hs * ws * kh * kw * ci * co
+
+    stride_of = {}
+    s = 1
+    for stage, _, n in dm.VGG_STAGES:
+        for i in range(1, n + 1):
+            stride_of[f"{stage}_{i}"] = s
+        s *= 2
+    s_top = s // 2
+    for nm in ("conv5_256", "conv5_256_up"):
+        stride_of[nm] = s_top
+    for nm in ("conv4_256", "conv4_fuse_final", "conv4_fuse_final_dim_red"):
+        stride_of[nm] = s_top // 2
+    head_flops = None
+    if spec.different_dilation:
+        hf = layer_flops("head", s_top // 2) or 0.0
+        for k in dm.ANCHOR_SCALES:
+            hf += (layer_flops(f"cls_score_{k}", s_top // 2) or 0.0) / 3
+            hf += (layer_flops(f"bbox_pred_{k}", s_top // 2) or 0.0) / 3
+        head_flops = hf
+
+    print(f"# per-layer compiled-cost shares @ {h}x{w}, "
+          f"mask_mode={args.mask_mode} (cycles are the TPU cost model's)")
+    print(f"{'layer':28s} {'cycles':>12s} {'share':>7s} "
+          f"{'GFLOP':>8s} {'rel eff':>8s}")
+    base_eff = None
+    for scope, cyc in per_scope.most_common():
+        gf = None
+        if scope.startswith("head_"):
+            gf = head_flops
+        elif scope in stride_of:
+            gf = layer_flops(scope, stride_of[scope])
+        eff = (gf / cyc) if (gf and cyc) else None
+        if eff and base_eff is None:
+            base_eff = eff
+        print(f"{scope:28s} {cyc:12d} {cyc/total:6.1%} "
+              f"{(gf or 0)/1e9:8.1f} "
+              f"{(eff/base_eff if eff else 0):8.2f}")
+    print(f"{'TOTAL':28s} {total:12d} {1:6.1%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,7 +112,8 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
             valid_hw=(valid_hw[0] * detector_mod.FEAT_STRIDE,
                       valid_hw[1] * detector_mod.FEAT_STRIDE),
             mask_mode=detector_mod.mask_plan(
-                str(cfg.TPU.MASK_MODE), train=True)[0])
+                str(cfg.TPU.MASK_MODE), train=True)[0],
+            s2d_stem=bool(cfg.TPU.S2D_STEM))
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
         bg_prob = lax.stop_gradient(

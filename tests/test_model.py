@@ -6,7 +6,7 @@ import pytest
 from smallhardface_tpu.models import detector
 from smallhardface_tpu.models.layers import (
     bilinear_kernel, upsample2x_bilinear, max_pool_2x2, conv2d,
-    normalize_l2, permute)
+    conv_s2d_3x3, normalize_l2, permute)
 
 
 def test_bilinear_kernel_factor2():
@@ -37,6 +37,48 @@ def test_max_pool_ceil_mode():
     assert y.shape == (1, 3, 3, 1)     # ceil(5/2), ceil(6/2)
     x2 = jnp.arange(4.0 * 4).reshape(1, 4, 4, 1)
     assert max_pool_2x2(x2).shape == (1, 2, 2, 1)
+
+
+def test_conv_s2d_3x3_exact_vs_plain_conv():
+    """The space-to-depth stem is the SAME dot products regrouped — it
+    must reproduce the plain 3x3 SAME conv to float-reassociation noise,
+    including the implicit zero-padding halo on all four edges."""
+    rng = np.random.RandomState(0)
+    for hh, ww, c, co in ((32, 48, 3, 64), (16, 16, 4, 8)):
+        x = rng.randn(2, hh, ww, c).astype(np.float32)
+        w = rng.randn(3, 3, c, co).astype(np.float32)
+        b = rng.randn(co).astype(np.float32)
+        want = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w),
+                                 jnp.asarray(b), padding=1))
+        got = np.asarray(conv_s2d_3x3(jnp.asarray(x), jnp.asarray(w),
+                                      jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_s2d_stem_matches_plain():
+    """forward(s2d_stem=True) must match the plain forward bit-closely,
+    masked and unmasked (the stem returns to full-res layout before the
+    band discipline resumes)."""
+    spec = detector.ModelSpec(different_dilation=True)
+    params = detector.init_params(jax.random.PRNGKey(3), spec)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 48, 80, 3).astype(np.float32) * 30
+
+    a = detector.forward(params, jnp.asarray(x), spec)
+    b = detector.forward(params, jnp.asarray(x), spec, s2d_stem=True)
+    np.testing.assert_allclose(np.asarray(b["cls_logits"]),
+                               np.asarray(a["cls_logits"]),
+                               rtol=1e-4, atol=1e-4)
+
+    xp = np.zeros((1, 96, 128, 3), np.float32)
+    xp[:, :48, :80] = x
+    vm = dict(valid_hw=(jnp.int32(48), jnp.int32(80)),
+              mask_mode="band_margin")
+    a = detector.forward(params, jnp.asarray(xp), spec, **vm)
+    b = detector.forward(params, jnp.asarray(xp), spec, s2d_stem=True, **vm)
+    np.testing.assert_allclose(
+        np.asarray(b["cls_logits"])[:, :6, :10],
+        np.asarray(a["cls_logits"])[:, :6, :10], rtol=1e-4, atol=1e-4)
 
 
 def test_normalize_l2_matches_reference_math():
