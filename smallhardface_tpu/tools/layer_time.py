@@ -12,7 +12,12 @@ enough to see where the time goes and how efficiently each layer maps to
 the MXU (the question VERDICT r1 raised about the stem).
 
 Shares are compiler estimates, not measurements; anchor them against the
-measured whole-forward wall from tools/perf_probe.py.
+measured whole-forward wall from tools/perf_probe.py. CALIBRATION
+CAVEAT (measured): the model's absolute cycles run ~3× above the real
+on-chip wall, and it over-charges the C=3 stem specifically — swapping
+conv1_1 for an MXU-efficient space-to-depth equivalent (TPU.S2D_STEM)
+moved the REAL whole-forward wall by ≈0 before shuffle costs, so treat
+conv1_1's modeled share as an upper bound, not a measurement.
 
 Usage: python -m smallhardface_tpu.tools.layer_time [--size 1408 1920]
        [--mask-mode band_margin|where|none]
