@@ -75,6 +75,11 @@ def main():
         params, x, jnp.int32(h - 32), jnp.int32(w - 32)).compile()
     per_scope = collect_cycles(compiled.as_text())
     total = sum(per_scope.values())
+    if not total:
+        print(f"# no estimated_cycles in the compiled HLO — the "
+              f"{jax.default_backend()} backend does not annotate costs; "
+              f"run on a TPU backend")
+        return
 
     shapes = dm.param_shapes(spec)
     import math
