@@ -265,9 +265,10 @@ class TPUDetector:
 
     def _program(self, shape):
         """Jitted forward+decode for a (B, H, W) padded shape (host-preproc
-        path). Keyed by (shape, mask_mode): the program bakes the masking
-        strategy in, and band_margin is only safe with margin buckets."""
-        shape = shape + (_mask_plan()[0],)
+        path). Keyed by (shape, mask_mode, s2d): the program bakes the
+        masking strategy and stem form in, and band_margin is only safe
+        with margin buckets."""
+        shape = shape + (_mask_plan()[0], bool(cfg.TPU.S2D_STEM))
         if shape in self._compiled:
             return self._compiled[shape]
         spec = self.spec
@@ -360,7 +361,7 @@ class TPUDetector:
                 _round_up(max(v_w + margin, cfg.MAX_RESOLUTION), bucket)))
         vote_method = str(cfg.TEST.NMS_METHOD) if self.device_vote else None
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP),
-               vote_method, mask_mode)
+               vote_method, mask_mode, bool(cfg.TPU.S2D_STEM))
         return {
             "padded": padded,
             "key": key,

@@ -98,8 +98,9 @@ def main():
             stride_of[f"{stage}_{i}"] = s
         s *= 2
     s_top = s // 2
-    for nm in ("conv5_256", "conv5_256_up"):
-        stride_of[nm] = s_top
+    stride_of["conv5_256"] = s_top
+    # the transposed conv WRITES the stride-8 (2H x 2W) grid
+    stride_of["conv5_256_up"] = s_top // 2
     for nm in ("conv4_256", "conv4_fuse_final", "conv4_fuse_final_dim_red"):
         stride_of[nm] = s_top // 2
     head_flops = None
@@ -110,23 +111,29 @@ def main():
             hf += (layer_flops(f"bbox_pred_{k}", s_top // 2) or 0.0) / 3
         head_flops = hf
 
+    def scope_flops(scope):
+        if scope.startswith("head_"):
+            return head_flops
+        if scope in stride_of:
+            return layer_flops(scope, stride_of[scope])
+        return None
+
+    # pin the efficiency baseline to conv1_1 (or conv1_1_s2d) so tables
+    # from different sizes/modes stay comparable
+    base = "conv1_1_s2d" if "conv1_1_s2d" in per_scope else "conv1_1"
+    base_gf = layer_flops("conv1_1", 1)
+    base_eff = (base_gf / per_scope[base]) if per_scope.get(base) else None
     print(f"# per-layer compiled-cost shares @ {h}x{w}, "
-          f"mask_mode={args.mask_mode} (cycles are the TPU cost model's)")
+          f"mask_mode={args.mask_mode} (cycles are the TPU cost model's; "
+          f"rel eff is GFLOP/cycle vs {base})")
     print(f"{'layer':28s} {'cycles':>12s} {'share':>7s} "
           f"{'GFLOP':>8s} {'rel eff':>8s}")
-    base_eff = None
     for scope, cyc in per_scope.most_common():
-        gf = None
-        if scope.startswith("head_"):
-            gf = head_flops
-        elif scope in stride_of:
-            gf = layer_flops(scope, stride_of[scope])
+        gf = scope_flops(scope)
         eff = (gf / cyc) if (gf and cyc) else None
-        if eff and base_eff is None:
-            base_eff = eff
         print(f"{scope:28s} {cyc:12d} {cyc/total:6.1%} "
               f"{(gf or 0)/1e9:8.1f} "
-              f"{(eff/base_eff if eff else 0):8.2f}")
+              f"{(eff/base_eff if (eff and base_eff) else 0):8.2f}")
     print(f"{'TOTAL':28s} {total:12d} {1:6.1%}")
 
 
