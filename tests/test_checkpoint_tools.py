@@ -77,3 +77,32 @@ def test_compare_dets_tool(tmp_path, monkeypatch, capsys):
     compare_dets.main()
     out = capsys.readouterr().out
     assert "mean match-rate 1.0000" in out
+
+
+def test_compare_dets_wider_txt_and_tar(tmp_path, monkeypatch, capsys):
+    """compare_dets also reads the WIDER result artifacts a CLI run leaves
+    behind (the driver forces NO_CACHE, so there is no detections.pkl):
+    per-image txt trees and result.tar.gz, in the wider.py writer format
+    (x, y, w, h, score)."""
+    import tarfile
+    from smallhardface_tpu.tools import compare_dets
+    for side, score in (("a", 0.9), ("b", 0.905)):
+        d = tmp_path / side / "detections" / "0--ev"
+        d.mkdir(parents=True)
+        (d / "img_0.txt").write_text(
+            "0--ev/img_0.jpg\n2\n10 20 30 40 %.3f \n50 60 20 20 0.500 \n"
+            % score)
+    with tarfile.open(tmp_path / "b.tar.gz", "w:gz") as tf:
+        tf.add(tmp_path / "b" / "detections", arcname="detections")
+    monkeypatch.setattr(sys, "argv", [
+        "compare_dets", str(tmp_path / "a"), str(tmp_path / "b.tar.gz")])
+    compare_dets.main()
+    out = capsys.readouterr().out
+    assert "images 1" in out and "mean match-rate 1.0000" in out
+    # a tighter score tolerance splits them
+    monkeypatch.setattr(sys, "argv", [
+        "compare_dets", str(tmp_path / "a"), str(tmp_path / "b.tar.gz"),
+        "--score-tol", "0.001"])
+    compare_dets.main()
+    out = capsys.readouterr().out
+    assert "mean match-rate 0.5000" in out
