@@ -270,7 +270,10 @@ class TPUDetector:
         with margin buckets."""
         shape = shape + (_mask_plan()[0], bool(cfg.TPU.S2D_STEM))
         if shape in self._compiled:
+            self._compiled.move_to_end(shape)
             return self._compiled[shape]
+        if len(self._compiled) >= self._max_programs:
+            self._compiled.popitem(last=False)
         spec = self.spec
         cd = self.compute_dtype
 
