@@ -39,6 +39,19 @@ def test_max_pool_ceil_mode():
     assert max_pool_2x2(x2).shape == (1, 2, 2, 1)
 
 
+def test_mask_plan_contract():
+    """Config-mode mapping: inference 'band' unlocks the margin fast path,
+    training keeps 'where' (measured slower otherwise, PERF_NOTES.md);
+    unknown modes are rejected rather than silently running the
+    margin-requiring path with margin 0."""
+    assert detector.mask_plan("band") == ("band_margin", 32)
+    assert detector.mask_plan("band_margin") == ("band_margin", 32)
+    assert detector.mask_plan("band", train=True) == ("where", 0)
+    assert detector.mask_plan("where") == ("where", 0)
+    with pytest.raises(ValueError):
+        detector.mask_plan("bogus")
+
+
 def test_conv_s2d_3x3_exact_vs_plain_conv():
     """The space-to-depth stem is the SAME dot products regrouped — it
     must reproduce the plain 3x3 SAME conv to float-reassociation noise,
