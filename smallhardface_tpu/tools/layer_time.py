@@ -30,19 +30,29 @@ import collections
 import re
 
 
-def collect_cycles(hlo_text):
-    """{scope: cycles} summed over entry-computation ops, keyed by the
-    first named_scope component of the op metadata (else the op name)."""
+def collect_cycles(hlo_text, jit_name="run"):
+    """{(scope, phase): cycles} summed over entry-computation ops, keyed
+    by the first named_scope component of the op metadata (else the op
+    name). phase is "fwd" or, for `transpose(jvp(scope))` paths produced
+    by autodiff, "bwd"."""
     per_scope = collections.Counter()
     # entry ops carry both metadata and a backend_config with
     # estimated_cycles; fusion-internal ops carry no backend_config
     pat = re.compile(
-        r'metadata={op_name="jit\(run\)/([^"]+)".*?'
-        r'"estimated_cycles":"(\d+)"')
+        r'metadata={op_name="jit\(' + re.escape(jit_name) +
+        r'\)/([^"]+)".*?"estimated_cycles":"(\d+)"')
     for m in pat.finditer(hlo_text):
         path, cycles = m.group(1), int(m.group(2))
         scope = path.split("/")[0]
-        per_scope[scope] += cycles
+        phase = "fwd"
+        bw = re.match(r"transpose\(jvp\(([^)]*)\)\)", scope)
+        if bw:
+            scope, phase = bw.group(1) or "(other)", "bwd"
+        else:
+            fw = re.match(r"jvp\(([^)]*)\)", scope)
+            if fw:
+                scope = fw.group(1) or "(other)"
+        per_scope[(scope, phase)] += cycles
     return per_scope
 
 
@@ -51,6 +61,10 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=[1408, 1920])
     ap.add_argument("--mask-mode", default="band_margin",
                     choices=["band_margin", "band", "where", "none"])
+    ap.add_argument("--train", action="store_true",
+                    help="profile forward+backward (grad of a sum loss "
+                         "under the training mask mode) — per-layer "
+                         "fwd/bwd like `caffe time`")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +77,15 @@ def main():
     params = dm.init_params(jax.random.PRNGKey(3), spec)
     x = jnp.zeros((1, h, w, 3), jnp.float32)
 
-    if args.mask_mode == "none":
+    if args.train:
+        def loss(p, xx, vh, vw):
+            out = dm.forward(p, xx, spec, valid_hw=(vh, vw),
+                             mask_mode="where")
+            return (out["cls_logits"].sum() + out["bbox_deltas"].sum())
+
+        def run(p, xx, vh, vw):
+            return jax.grad(loss)(p, xx, vh, vw)
+    elif args.mask_mode == "none":
         def run(p, xx, vh, vw):
             return dm.forward(p, xx, spec)
     else:
@@ -118,23 +140,32 @@ def main():
             return layer_flops(scope, stride_of[scope])
         return None
 
+    by_layer = collections.defaultdict(lambda: {"fwd": 0, "bwd": 0})
+    for (scope, phase), cyc in per_scope.items():
+        by_layer[scope][phase] += cyc
+
     # pin the efficiency baseline to conv1_1 (or conv1_1_s2d) so tables
     # from different sizes/modes stay comparable
-    base = "conv1_1_s2d" if "conv1_1_s2d" in per_scope else "conv1_1"
+    base = "conv1_1_s2d" if "conv1_1_s2d" in by_layer else "conv1_1"
     base_gf = layer_flops("conv1_1", 1)
-    base_eff = (base_gf / per_scope[base]) if per_scope.get(base) else None
-    print(f"# per-layer compiled-cost shares @ {h}x{w}, "
-          f"mask_mode={args.mask_mode} (cycles are the TPU cost model's; "
-          f"rel eff is GFLOP/cycle vs {base})")
-    print(f"{'layer':28s} {'cycles':>12s} {'share':>7s} "
+    base_cyc = by_layer.get(base, {}).get("fwd", 0)
+    base_eff = (base_gf / base_cyc) if base_cyc else None
+    mode = "train fwd+bwd" if args.train else f"mask_mode={args.mask_mode}"
+    print(f"# per-layer compiled-cost shares @ {h}x{w}, {mode} "
+          f"(cycles are the TPU cost model's; rel eff is fwd GFLOP/cycle "
+          f"vs {base})")
+    print(f"{'layer':28s} {'fwd cyc':>12s} {'bwd cyc':>12s} {'share':>7s} "
           f"{'GFLOP':>8s} {'rel eff':>8s}")
-    for scope, cyc in per_scope.most_common():
+    order = sorted(by_layer.items(),
+                   key=lambda kv: -(kv[1]["fwd"] + kv[1]["bwd"]))
+    for scope, cyc in order:
         gf = scope_flops(scope)
-        eff = (gf / cyc) if (gf and cyc) else None
-        print(f"{scope:28s} {cyc:12d} {cyc/total:6.1%} "
+        eff = (gf / cyc["fwd"]) if (gf and cyc["fwd"]) else None
+        print(f"{scope:28s} {cyc['fwd']:12d} {cyc['bwd']:12d} "
+              f"{(cyc['fwd'] + cyc['bwd'])/total:6.1%} "
               f"{(gf or 0)/1e9:8.1f} "
               f"{(eff/base_eff if (eff and base_eff) else 0):8.2f}")
-    print(f"{'TOTAL':28s} {total:12d} {1:6.1%}")
+    print(f"{'TOTAL':28s} {total:12d}")
 
 
 if __name__ == "__main__":
