@@ -81,7 +81,10 @@ for mode in ("none", "band_margin", "where"):
     fn = jax.jit(run)
     args = (params, x, jnp.int32(H - 32), jnp.int32(W - 32))
     out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    # device-side slice first — transferring the whole tensor through the
+    # ~30 MB/s tunnel just to warm up is the pattern the repo notes warn
+    # about (matches the timed loop below)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
     walls = []
     for _ in range(6):
         t0 = time.time()

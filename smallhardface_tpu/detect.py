@@ -440,7 +440,25 @@ class TPUDetector:
         wanting a bounded program count should bucket inputs by size.
         max_batch bounds the images per dispatch (a full 5-level pyramid
         ×flip at WIDER sizes peaks ~5 GB HBM per image — B=3 exceeds a
-        v5e's 16 GB). Returns a list of cls_dets in input order."""
+        v5e's 16 GB). Returns a list of cls_dets in input order.
+
+        Under cfg.TPU.HOST_PREPROC (the reference-exact parity path) there
+        is no batched device program; rather than silently running a
+        different numeric path than asked, fall back to per-image
+        detect() with a one-time warning."""
+        if self.host_preproc:
+            if score_thresh is not None:
+                raise ValueError(
+                    "detect_many(score_thresh=...) is not supported under "
+                    "TPU.HOST_PREPROC (the host path applies "
+                    "cfg.TEST.SCORE_THRESH)")
+            if not getattr(self, "_warned_host_preproc", False):
+                logger.warning(
+                    "TPU.HOST_PREPROC is set: detect_many falls back to "
+                    "sequential per-image detect() (no batched device "
+                    "program on the host-preproc parity path)")
+                self._warned_host_preproc = True
+            return [self.detect(im, thresh)[0] for im in ims]
         assert self.spatial_mesh is None, (
             "detect_many batches per chip; use one detector per chip for "
             "spatial sharding")

@@ -270,6 +270,14 @@ def _zero_band(h, v, width, axis, margin_ok=False):
     sizes = list(h.shape)
     sizes[axis] = width
     if margin_ok:
+        # the caller promises v + width <= size (mask_plan's 32 px bucket
+        # margin); a violated promise would make XLA clamp the start and
+        # silently zero VALID activations — fail loudly when v is static
+        if isinstance(v, (int, np.integer)) and v + width > size:
+            raise ValueError(
+                f"band margin violated: valid={v} + width={width} > "
+                f"size={size} on axis {axis} (bucket lacks the margin "
+                f"band_margin requires; see detector.mask_plan)")
         starts[axis] = jnp.asarray(v, jnp.int32)
         return jax.lax.dynamic_update_slice(
             h, jnp.zeros(tuple(sizes), h.dtype), tuple(starts))

@@ -43,6 +43,11 @@ class DetectorService:
     equivalent to the unbatched path (tests/test_serve.py). max_batch
     bounds images per dispatch (HBM: ~5 GB per full-pyramid image)."""
 
+    # generous per-request bound: covers a cold compile + the first
+    # tunnel readback (minutes); a dead batch thread surfaces as a 503
+    # instead of a forever-blocked client
+    REQUEST_TIMEOUT_S = 15 * 60
+
     def __init__(self, params, spec, batch_window_ms=0, max_batch=2):
         from smallhardface_tpu.detect import TPUDetector
         self.det = TPUDetector(params, spec)
@@ -69,10 +74,18 @@ class DetectorService:
         if self._queue is not None:
             ev, slot = threading.Event(), {}
             self._queue.put((im, float(thresh), ev, slot))
-            ev.wait()
+            if not ev.wait(self.REQUEST_TIMEOUT_S):
+                raise RuntimeError(
+                    "detection service unavailable: batched request not "
+                    f"served within {self.REQUEST_TIMEOUT_S}s")
             if "error" in slot:
                 raise slot["error"]
             return slot["dets"]
+        if self.det.host_preproc:
+            # reference-exact parity path: detect() honors HOST_PREPROC;
+            # detect_async would silently run the fused device path
+            with self._dispatch_lock:
+                return self.det.detect(im, thresh)[0][0]
         with self._dispatch_lock:
             handle = self.det.detect_async(im, thresh)
         dets = self.det.finalize_async(handle, thresh)[0]
@@ -83,32 +96,42 @@ class DetectorService:
         import time
         while True:
             batch = [self._queue.get()]
-            deadline = time.time() + self.batch_window
-            while len(batch) < self.max_batch:
-                left = deadline - time.time()
-                if left <= 0:
-                    break
-                try:
-                    batch.append(self._queue.get(timeout=left))
-                except queue.Empty:
-                    break
-            by_thresh = {}
-            for item in batch:
-                by_thresh.setdefault(item[1], []).append(item)
-            for thresh, items in by_thresh.items():
-                try:
-                    with self._dispatch_lock:
-                        results = self.det.detect_many(
-                            [it[0] for it in items], thresh,
-                            max_batch=self.max_batch)
-                except Exception as e:       # surface to every waiter
-                    for _, _, ev, slot in items:
+            # any failure anywhere in this iteration must release every
+            # collected waiter — an escaped exception would kill the
+            # daemon thread and strand all queued clients
+            try:
+                deadline = time.time() + self.batch_window
+                while len(batch) < self.max_batch:
+                    left = deadline - time.time()
+                    if left <= 0:
+                        break
+                    try:
+                        batch.append(self._queue.get(timeout=left))
+                    except queue.Empty:
+                        break
+                by_thresh = {}
+                for item in batch:
+                    by_thresh.setdefault(item[1], []).append(item)
+                for thresh, items in by_thresh.items():
+                    try:
+                        with self._dispatch_lock:
+                            results = self.det.detect_many(
+                                [it[0] for it in items], thresh,
+                                max_batch=self.max_batch)
+                        for (_, _, ev, slot), dets in zip(items, results):
+                            slot["dets"] = dets[0]
+                            ev.set()
+                    except Exception as e:   # surface to this group
+                        for _, _, ev, slot in items:
+                            if not ev.is_set():
+                                slot["error"] = e
+                                ev.set()
+            except Exception as e:           # pragma: no cover — backstop
+                logger.exception("batch loop failure")
+                for _, _, ev, slot in batch:
+                    if not ev.is_set():
                         slot["error"] = e
                         ev.set()
-                    continue
-                for (_, _, ev, slot), dets in zip(items, results):
-                    slot["dets"] = dets[0]
-                    ev.set()
 
 
 def make_handler(service):

@@ -88,6 +88,10 @@ def main():
     assert len(da) == len(db), "class count mismatch"
     for cls in range(1, len(da)):
         ca, cb = da[cls], db[cls]
+        assert isinstance(ca, dict) == isinstance(cb, dict), (
+            "cannot compare a detections.pkl (index-keyed list) against a "
+            "WIDER txt/tar artifact (path-keyed dict) — convert one side "
+            "first (both inputs must be the same kind)")
         if isinstance(ca, dict):
             keys = sorted(ca)
             assert keys == sorted(cb), "image sets differ"

@@ -66,3 +66,30 @@ def test_detect_many_matches_host_vote_path(rng, many_cfg):
                                        rtol=1e-5, atol=1e-4)
     finally:
         cfg.TPU.DEVICE_VOTE = old
+
+
+def test_detect_many_honors_host_preproc(rng, many_cfg, caplog):
+    """Under TPU.HOST_PREPROC detect_many must not silently run the fused
+    device path: it falls back to per-image detect() (reference-exact host
+    preprocessing) with a one-time warning, and rejects the score_thresh
+    override the host path cannot honor (VERDICT r2 weak #3)."""
+    old = cfg.TPU.HOST_PREPROC
+    cfg.TPU.HOST_PREPROC = True
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(2), spec)
+        det = TPUDetector(params, spec)
+        assert det.host_preproc
+        ims = [rng.randint(0, 255, (50, 60, 3)).astype(np.uint8)
+               for _ in range(2)]
+        import logging
+        with caplog.at_level(logging.WARNING, "smallhardface_tpu.detect"):
+            batched = det.detect_many(ims, thresh=0.05)
+        assert any("HOST_PREPROC" in r.message for r in caplog.records)
+        singles = [det.detect(im, thresh=0.05)[0] for im in ims]
+        for one, many in zip(singles, batched):
+            np.testing.assert_array_equal(many[0], one[0])
+        with pytest.raises(ValueError, match="HOST_PREPROC"):
+            det.detect_many(ims, thresh=0.05, score_thresh=0.1)
+    finally:
+        cfg.TPU.HOST_PREPROC = old
