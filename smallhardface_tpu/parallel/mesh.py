@@ -24,11 +24,12 @@ def maybe_init_distributed():
     (env-driven, a no-op on single host). Exceeds reference parity — the
     reference was single-node only (SURVEY.md §2.3). After this,
     `jax.devices()` returns the GLOBAL device set, so `make_mesh` builds a
-    DCN-spanning mesh and collectives cross processes (tested by
-    tests/test_multihost.py with 2 CPU processes over gloo). NOTE the
-    per-iteration host data path is per-controller: each process must feed
-    its OWN addressable shard (jax.make_array_from_process_local_data);
-    `shard_batch`/`replicate` device_put full host arrays and are
+    DCN-spanning mesh and collectives cross processes. train_net feeds a
+    multi-process mesh per-controller (each process builds its addressable
+    rows via jax.make_array_from_process_local_data) and produces params
+    bit-identical to a single-process run — tested by
+    tests/test_multihost.py with 2 CPU processes over gloo.
+    `shard_batch`/`replicate` device_put full host arrays and remain
     single-controller helpers."""
     import os
     global _distributed_initialized

@@ -192,23 +192,39 @@ def _snap_gt(g, buckets):
     return buckets[-1]
 
 
-def assemble_batch(samples, n_dev, iter_size, gt_buckets):
+def _batch_dims(samples):
+    """Raw (pre-snap) max extents of a sample list — the quantities bucket
+    shapes derive from. Multi-host training maxes these ACROSS processes
+    so every controller compiles/runs the same program shape."""
+    return np.array([
+        max(s["height"] for s in samples),
+        max(s["width"] for s in samples),
+        max(s["data"].shape[0] for s in samples),
+        max(s["data"].shape[1] for s in samples),
+        max(max(s["gt_boxes"].shape[0] for s in samples), 1),
+    ], np.int64)
+
+
+def assemble_batch(samples, n_dev, iter_size, gt_buckets, raw_dims=None):
     """Pad a flat list of loader samples (n_dev*iter_size) to shared bucket
     shapes. `data` carries the distorted uint8 ORIGINALS (edge-padded so
     the fused device resize clamps at image borders like cv2); resize +
     crop happen on device via (im_scale, crop). Returns
-    (arrays dict, im_idx list, bucket key)."""
-    hmax = max(s["height"] for s in samples)
-    wmax = max(s["width"] for s in samples)
+    (arrays dict, im_idx list, bucket key).
+
+    raw_dims overrides the measured extents (multi-host: the global max of
+    every process's _batch_dims)."""
+    if raw_dims is None:
+        raw_dims = _batch_dims(samples)
+    hmax, wmax = int(raw_dims[0]), int(raw_dims[1])
     # margin is 0 for training (mask_plan train=True keeps "where": the
     # band path's margin + dus backward cost more than they save here)
     margin = detector_mod.mask_plan(str(cfg.TPU.MASK_MODE), train=True)[1]
     hb = _snap(_snap(hmax, cfg.MAX_RESOLUTION) + margin, BUCKET)
     wb = _snap(_snap(wmax, cfg.MAX_RESOLUTION) + margin, BUCKET)
-    h0max = max(s["data"].shape[0] for s in samples)
-    w0max = max(s["data"].shape[1] for s in samples)
+    h0max, w0max = int(raw_dims[2]), int(raw_dims[3])
     h0b, w0b = _snap(h0max, BUCKET), _snap(w0max, BUCKET)
-    gmax = max(max(s["gt_boxes"].shape[0] for s in samples), 1)
+    gmax = int(raw_dims[4])
     gb = _snap_gt(gmax, gt_buckets)
 
     data = np.zeros((n_dev, iter_size, h0b, w0b, 3), np.uint8)
@@ -273,6 +289,22 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         mesh = make_mesh(1)
     mesh = mesh or make_mesh(int(cfg.TPU.NUM_DEVICES))
     n_dev = mesh.devices.size
+    # Multi-controller topology: each process feeds ONLY the mesh rows its
+    # addressable devices own (jax.make_array_from_process_local_data);
+    # the reference's analog contract is one data layer per NCCL rank
+    # (lib/train.py:58-63, parallel.cpp:303-316).
+    n_procs = jax.process_count()
+    proc = jax.process_index()
+    if n_procs > 1:
+        mesh_devs = list(mesh.devices.flat)
+        local_ranks = [i for i, d in enumerate(mesh_devs)
+                       if d.process_index == proc]
+        assert local_ranks and local_ranks == list(
+            range(local_ranks[0], local_ranks[0] + len(local_ranks))), (
+            f"non-contiguous local device block in mesh: {local_ranks}")
+    else:
+        local_ranks = list(range(n_dev))
+    n_local = len(local_ranks)
     iter_size = int(cfg.TRAIN.ITERSIZE)
     gt_buckets = list(cfg.TPU.MAX_GT_BUCKETS)
     compute_dtype = (jnp.bfloat16 if cfg.TPU.PRECISION == "bfloat16"
@@ -313,19 +345,54 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         momentum=float(cfg.TRAIN.MOMENTUM),
         compute_dtype=compute_dtype, solver_type=solver_type)
 
-    loaders = [RoIDataLoader(roidb, rank=r) for r in range(n_dev)]
+    if n_procs > 1:
+        from jax.sharding import NamedSharding
+        _rep_sharding = NamedSharding(mesh, P())
+        _data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+        def _replicated_global(tree):
+            """Host tree → fully-replicated global arrays over the
+            multi-process mesh (every rank holds identical solver state —
+            the reference's DP invariant, parallel.cpp:303-316)."""
+            def one(x):
+                arr = np.asarray(jax.device_get(x))
+                return jax.make_array_from_callback(
+                    arr.shape, _rep_sharding, lambda idx, a=arr: a[idx])
+            return jax.tree_util.tree_map(one, tree)
+
+        params = _replicated_global(params)
+        opt_state = _replicated_global(opt_state)
+
+        def put(x):
+            return jax.make_array_from_process_local_data(_data_sharding, x)
+    else:
+        put = jnp.asarray
+
+    def _local_rows(v):
+        """Rows of a P(DATA_AXIS) output owned by this process, in global
+        rank order (single-process: the whole array)."""
+        if n_procs == 1:
+            return np.asarray(v)
+        shards = sorted(v.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    # one loader per GLOBAL rank id hosted here: rank seeds the permutation,
+    # so a 2-process×4-device run fetches exactly what 1×8 would
+    loaders = [RoIDataLoader(roidb, rank=r) for r in local_ranks]
     if resume_extra.get("loader_state") is not None:
         import pickle
         states = pickle.loads(
             np.asarray(resume_extra["loader_state"]).tobytes())
-        if len(states) == n_dev:
+        if n_procs == 1 and len(states) == n_dev:
             for ld, st in zip(loaders, states):
                 ld.load_state_dict(st)
             logger.info("Restored sampler state for %d ranks", n_dev)
         else:
             logger.warning(
-                "Checkpoint sampler state has %d ranks but mesh has %d; "
-                "samplers restart fresh", len(states), n_dev)
+                "Checkpoint sampler state has %d ranks but this run has %d "
+                "(%d processes); samplers restart fresh",
+                len(states), n_dev, n_procs)
     host_rng = np.random.RandomState(int(cfg.RNG_SEED))
     num_scales = len(cfg.TRAIN.SCALES.SHORT_SIDE)
     scale_seq = host_rng.randint(0, num_scales, size=max_iter)
@@ -338,11 +405,26 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
 
     def build_batch(it):
         scale_idx = int(scale_seq[it])
-        with ThreadPoolExecutor(max_workers=max(n_dev, 1)) as ex:
+        with ThreadPoolExecutor(max_workers=max(n_local, 1)) as ex:
             futs = [ex.submit(_fetch_rank, r, scale_idx)
-                    for r in range(n_dev)]
+                    for r in range(n_local)]
             samples = [s for f in futs for s in f.result()]
-        return assemble_batch(samples, n_dev, iter_size, gt_buckets)
+        if n_procs == 1:
+            return assemble_batch(samples, n_local, iter_size, gt_buckets)
+        # multi-host: bucket dims need a cross-process max (a collective);
+        # issue it from the MAIN thread between steps, never from the
+        # prefetch thread, so collective order is identical on every
+        # process — return raw samples and assemble in finish_batch
+        return samples
+
+    def finish_batch(got):
+        if n_procs == 1:
+            return got
+        from jax.experimental import multihost_utils
+        raw = np.max(multihost_utils.process_allgather(_batch_dims(got)),
+                     axis=0)
+        return assemble_batch(got, n_local, iter_size, gt_buckets,
+                              raw_dims=raw)
 
     snapshot_prefix = cfg.NAME if cfg.TRAIN.SNAPSHOT_INFIX == "" else \
         f"{cfg.NAME}_{cfg.TRAIN.SNAPSHOT_INFIX}"
@@ -378,7 +460,7 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
 
     for it in range(start_iter, max_iter):
         t.tic()
-        batch, im_idx, bucket = pending.result()
+        batch, im_idx, bucket = finish_batch(pending.result())
         # Sampler snapshot BEFORE the next prefetch mutates loader state:
         # a resume at iteration it+1 re-fetches exactly the batch the
         # original run would have used for it+1.
@@ -388,12 +470,12 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         rate = solver_mod.learning_rate(it, cfg)
         out_shape = (bucket[2], bucket[3])        # (hb, wb)
         params, opt_state, metrics = step(
-            params, opt_state, jnp.float32(rate), jnp.int32(it), out_shape,
-            jnp.asarray(batch["data"]), jnp.asarray(batch["scale"]),
-            jnp.asarray(batch["crop"]), jnp.asarray(batch["gt"]),
-            jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
-            jnp.asarray(batch["valid_hw"]))
-        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            params, opt_state, np.float32(rate), np.int32(it), out_shape,
+            put(batch["data"]), put(batch["scale"]),
+            put(batch["crop"]), put(batch["gt"]),
+            put(batch["gt_mask"]), put(batch["im_hw"]),
+            put(batch["valid_hw"]))
+        metrics = {k: _local_rows(v) for k, v in metrics.items()}
         t.toc()
         it1 = it + 1
 
@@ -408,11 +490,21 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         want_snapshot = (it1 % int(cfg.TRAIN.SNAPSHOT) == 0
                          or it1 == max_iter or actions["snapshot"]
                          or actions["stop"])
-        if want_snapshot:
+        if want_snapshot and proc != 0:
+            # single-writer snapshots, like the reference's rank-0-only
+            # snapshotting (lib/train.py:143-146); params are replicated
+            # so process 0's copy is every process's copy
+            actions["snapshot"] = False
+        elif want_snapshot:
             actions["snapshot"] = False
             import pickle
-            extra = {"loader_state": np.frombuffer(
-                pickle.dumps(loader_snapshot), dtype=np.uint8)}
+            if n_procs > 1:
+                # process 0 only holds its own ranks' sampler state; a
+                # resume restarts samplers (warned at load)
+                extra = {}
+            else:
+                extra = {"loader_state": np.frombuffer(
+                    pickle.dumps(loader_snapshot), dtype=np.uint8)}
             fname = osp.join(output_dir,
                              f"{snapshot_prefix}_iter_{it1}.npz")
             checkpoint.save(fname, jax.device_get(params),
