@@ -234,6 +234,12 @@ def forward_flops(spec: ModelSpec, h, w, batch=1):
     return batch * total
 
 
+# bucket padding the band_margin contract guarantees beyond the valid
+# extent (mask_plan); also caps how many convs one band clean can serve
+# at a given stride (grouped cleaning below)
+BAND_MARGIN_PX = 32
+
+
 def mask_plan(cfg_mode: str, train: bool = False):
     """(forward mask_mode, bucket margin px) for a TPU.MASK_MODE value.
 
@@ -247,7 +253,7 @@ def mask_plan(cfg_mode: str, train: bool = False):
     if cfg_mode in ("band", "band_margin"):
         if train:
             return "where", 0
-        return "band_margin", 32
+        return "band_margin", BAND_MARGIN_PX
     if cfg_mode != "where":
         raise ValueError(
             f"TPU.MASK_MODE must be 'band' or 'where', got {cfg_mode!r}")
@@ -372,6 +378,13 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         return _zero_band(h, valid_hw[1] // s, reach, 2, margin_ok=margin_ok)
 
     def cbr(h, name, dilation=1):
+        """Conv+bias+ReLU with the [valid, valid+dilation) input band
+        cleaned first. The band is needed before EVERY spatial conv — the
+        reference's implicit zero padding means an output at valid-1 must
+        read exact ZEROS at the halo, and after any conv the halo holds
+        relu(bias + boundary leakage) ≠ 0, so one wider band cannot serve
+        a group of convs (tried in round 3; the bucket-padding parity
+        test rejects it — see PERF_NOTES.md)."""
         pad = dilation  # 3x3 kernels throughout
         # named_scope → per-layer attribution in compiled-HLO metadata
         # (tools/layer_time.py, the `caffe time` analog); no numeric effect

@@ -95,3 +95,53 @@ def decode_proposals(fg_scores, bbox_deltas, base_anchors, *,
     top_scores, top_idx = lax.top_k(sortable, capacity)
     top_boxes = boxes.reshape(-1, 4)[top_idx]
     return top_boxes, top_scores, n_keep
+
+
+def decode_proposals_train(fg_scores, bbox_deltas, base_anchors, *,
+                           feat_stride, im_h, im_w, valid_h, valid_w,
+                           min_size, pre_nms_top, post_nms_top, nms_thresh):
+    """TRAIN-phase ProposalLayer semantics
+    (/root/reference/lib/layers/proposal_layer.py:171-202 under phase==0,
+    keys TRAIN.ANCHOR_MIN_SIZE / ANCHOR_N_PRE_NMS / ANCHOR_N_POST_NMS /
+    NMS_THRESH; min_size arrives pre-multiplied by im_scale,
+    proposal_layer.py:174).
+
+    Faithful-port note: the reference TRAIN branch never assigns
+    `score_thresh` (only the TEST branch does, proposal_layer.py:86-92),
+    so `max_score[order] >= score_thresh` raises NameError and the bare
+    `except: thresh_idx = 0` (proposal_layer.py:180-184) silently keeps
+    ONLY the top-scoring proposal; the subsequent NMS and post-NMS cap
+    are then no-ops on a single box. The effective contract — reproduced
+    here and proven against a full numpy port of the branch in
+    tests/test_decode.py — is: argmax-select over (inside-grid ∧
+    min-size-ok) anchors, dummy roi (0, 0, 16, 16) when none qualifies
+    (proposal_layer.py:206-207). pre_nms_top/post_nms_top/nms_thresh are
+    accepted for call-signature parity with the config keys; they cannot
+    change the result while the upstream quirk defines the contract.
+
+    Returns (rois (1, 5) [batch0, x1, y1, x2, y2], scores (1,), n) with
+    n = 1 when a proposal qualified else 0 (the dummy row).
+    """
+    del pre_nms_top, post_nms_top, nms_thresh   # see docstring
+    h, w, A = fg_scores.shape
+    anchors = dense_anchor_grid(h, w, np.asarray(base_anchors), feat_stride)
+    boxes = bbox_jax.bbox_transform_inv(anchors, bbox_deltas)
+    boxes = bbox_jax.clip_boxes(boxes, im_h, im_w)
+
+    gy = lax.broadcasted_iota(jnp.int32, (h, w, A), 0)
+    gx = lax.broadcasted_iota(jnp.int32, (h, w, A), 1)
+    grid_ok = (gy < valid_h) & (gx < valid_w)
+    ws = boxes[..., 2] - boxes[..., 0] + 1
+    hs = boxes[..., 3] - boxes[..., 1] + 1
+    keepable = grid_ok & (ws >= min_size) & (hs >= min_size)
+
+    sortable = jnp.where(keepable, fg_scores, -jnp.inf).reshape(-1)
+    best = jnp.argmax(sortable)
+    any_ok = jnp.any(keepable)
+    top_box = boxes.reshape(-1, 4)[best]
+    dummy = jnp.asarray([0.0, 0.0, 16.0, 16.0], jnp.float32)
+    roi_box = jnp.where(any_ok, top_box, dummy)
+    rois = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                            roi_box]).reshape(1, 5)
+    score = jnp.where(any_ok, sortable[best], 0.0).reshape(1)
+    return rois, score, any_ok.astype(jnp.int32)

@@ -11,16 +11,17 @@ each layer's share of the modeled compute plus its analytic conv FLOPs —
 enough to see where the time goes and how efficiently each layer maps to
 the MXU (the question VERDICT r1 raised about the stem).
 
-Shares are compiler estimates, not measurements; anchor them against the
-measured whole-forward wall from tools/perf_probe.py. CALIBRATION
-CAVEAT (measured): the model's absolute cycles run ~3× above the real
-on-chip wall, and it over-charges the C=3 stem specifically — swapping
-conv1_1 for an MXU-efficient space-to-depth equivalent (TPU.S2D_STEM)
-moved the REAL whole-forward wall by ≈0 before shuffle costs, so treat
-conv1_1's modeled share as an upper bound, not a measurement.
+Shares are compiler estimates, not measurements; `--bisect` MEASURES the
+per-stage walls instead (truncated forwards, deltas differenced — the
+caffe-time-style ground truth; needs the real chip). CALIBRATION, round 3
+(scripts/stem_probe.py + --bisect): the cost model's absolute cycles run
+~3× above the real wall and its 22 % conv1_1 share is an artifact —
+measured, the C=3 stem costs ≈ 0 ms and the whole VGG-13 stack runs at
+~106 TF/s (≈ 0.54 MFU of the 197 TF/s MXU peak); treat the model table
+as relative shape hints, and the --bisect table as the measurement.
 
 Usage: python -m smallhardface_tpu.tools.layer_time [--size 1408 1920]
-       [--mask-mode band_margin|where|none]
+       [--mask-mode band_margin|where|none] [--bisect [--reps 8]]
 """
 
 from __future__ import annotations
@@ -56,6 +57,81 @@ def collect_cycles(hlo_text, jit_name="run"):
     return per_scope
 
 
+def _bisect(spec, params, x, args, jax, jnp, dm):
+    """Measured per-stage attribution: time jitted PREFIXES of the VGG
+    stack (plus the complete forward) and difference the walls. Walls are
+    taken around a 1-element device-slice readback (block_until_ready
+    does not block through the axon tunnel); a null dispatch calibrates
+    the RTT baseline."""
+    import math
+    import time
+
+    import numpy as np
+
+    from smallhardface_tpu.models.layers import conv2d, max_pool_2x2
+
+    def wall(fn, fargs):
+        out = fn(*fargs)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            out = fn(*fargs)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    h, w = args.size
+    params = jax.device_put(params)
+    xd = jax.device_put(x)
+    rtt = wall(jax.jit(lambda v: v + 1.0), (jnp.zeros((8,), jnp.float32),))
+    print(f"# null dispatch+readback (RTT baseline): {rtt*1e3:.1f} ms")
+
+    stages = []
+    for stage, _, cnt in dm.VGG_STAGES:
+        stages.extend(f"{stage}_{i}" for i in range(1, cnt + 1))
+        if stage != "conv5":
+            stages.append(f"pool{stage[4:]}")
+
+    def make_prefix(k):
+        names = stages[:k]
+
+        def run(p, xx):
+            hh = xx
+            for nm in names:
+                if nm.startswith("pool"):
+                    hh = max_pool_2x2(hh)
+                else:
+                    hh = jax.nn.relu(conv2d(
+                        hh, p[nm]["w"], p[nm]["b"], padding=1))
+            return hh.sum()          # tiny readback, defeats DCE
+        return jax.jit(run)
+
+    shapes = dm.param_shapes(spec)
+    print(f"# truncated forwards @ {h}x{w} (Δ = this stage; cumulative "
+          f"walls include the RTT)")
+    prev, s = rtt, 1
+    for k, nm in enumerate(stages, 1):
+        t = wall(make_prefix(k), (params, xd))
+        d = t - prev
+        gf = 0.0
+        if not nm.startswith("pool"):
+            kh, kw, ci, co = shapes[nm]["w"]
+            gf = 2e-9 * math.ceil(h / s) * math.ceil(w / s) * kh * kw * ci * co
+        print(f"  {nm:10s} cum {t*1e3:7.1f} ms   Δ {d*1e3:6.1f} ms   "
+              f"{gf:7.1f} GF")
+        prev = t
+        if nm.startswith("pool"):
+            s *= 2
+    full = jax.jit(lambda p, xx: jax.tree_util.tree_map(
+        jnp.sum, dm.forward(p, xx, spec)))
+    t = wall(full, (params, xd))
+    tf = dm.forward_flops(spec, h, w) / max(t - rtt, 1e-9) / 1e12
+    print(f"  {'FULL fwd':10s} cum {t*1e3:7.1f} ms   "
+          f"(compute ~{(t-rtt)*1e3:.1f} ms, {tf:.1f} TF/s, "
+          f"MFU {tf/197:.2f} vs the 197 TF/s MXU peak)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, nargs=2, default=[1408, 1920])
@@ -65,6 +141,12 @@ def main():
                     help="profile forward+backward (grad of a sum loss "
                          "under the training mask mode) — per-layer "
                          "fwd/bwd like `caffe time`")
+    ap.add_argument("--bisect", action="store_true",
+                    help="MEASURE per-stage walls via truncated forwards "
+                         "(ground truth; ±2-3 ms per-delta noise from "
+                         "per-prefix fusion choices — read the cumulative "
+                         "column). Requires a real device.")
+    ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -76,6 +158,10 @@ def main():
     spec = dm.ModelSpec(different_dilation=True)
     params = dm.init_params(jax.random.PRNGKey(3), spec)
     x = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    if args.bisect:
+        _bisect(spec, params, x, args, jax, jnp, dm)
+        return
 
     if args.train:
         def loss(p, xx, vh, vw):

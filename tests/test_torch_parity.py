@@ -16,11 +16,16 @@ import jax.numpy as jnp
 from smallhardface_tpu.models import detector as dm
 
 
-def _torch_forward(params, x_nchw, spec):
+def _torch_forward(params, x_nchw, spec, dtype=None):
     import torch.nn.functional as F
 
-    t = {k: {kk: torch.from_numpy(np.asarray(vv)).double()
+    dtype = dtype or torch.float64
+    t = {k: {kk: torch.from_numpy(np.asarray(vv)).to(dtype)
              for kk, vv in v.items()} for k, v in params.items()}
+    # inference-only oracle: autograd tracking would double the memory and
+    # slow the big production-shape fixture regeneration
+    ng = torch.no_grad()
+    ng.__enter__()
 
     def conv(x, name, dilation=1, padding=None):
         w = t[name]["w"].permute(3, 2, 0, 1)   # HWIO -> OIHW
@@ -68,6 +73,7 @@ def _torch_forward(params, x_nchw, spec):
         A = spec.num_anchors
         cls = raw_cls.reshape(b, 2, A, hh, ww).permute(0, 3, 4, 2, 1)
         box = raw_box.reshape(b, A, 4, hh, ww).permute(0, 3, 4, 1, 2)
+    ng.__exit__(None, None, None)
     return cls.numpy(), box.numpy()
 
 
