@@ -271,8 +271,12 @@ def _prod_fixture_inputs():
     collage = np.concatenate(rows, axis=0)          # (256, 320, 3)
     spec = dm.ModelSpec(different_dilation=True)
     params = dm.init_params(jax.random.PRNGKey(11), spec)
+    # bias 1.5 measured (CPU probe): ~4.8k merged rows above thresh 0.05
+    # across the pyramid — crowded, but inside VOTE_CAP; at 1.4 the tail
+    # explodes to 130k and at 1.6 it collapses to ~0 (the random-init
+    # logit distribution is narrow)
     for k in (1, 2, 4):
-        params[f"cls_score_{k}"]["b"] = jnp.asarray([2.6, -2.6])
+        params[f"cls_score_{k}"]["b"] = jnp.asarray([1.5, -1.5])
     return collage, spec, params
 
 
