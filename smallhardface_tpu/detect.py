@@ -167,7 +167,8 @@ class TPUDetector:
                     valid_hw=(valid_h[li] * detector_mod.FEAT_STRIDE,
                               valid_w[li] * detector_mod.FEAT_STRIDE),
                     mask_mode=_mask_plan()[0],
-                    s2d_stem=bool(cfg.TPU.S2D_STEM))
+                    s2d_stem=bool(cfg.TPU.S2D_STEM),
+                    pallas_stem=bool(cfg.TPU.PALLAS_STEM))
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
@@ -268,7 +269,8 @@ class TPUDetector:
         path). Keyed by (shape, mask_mode, s2d): the program bakes the
         masking strategy and stem form in, and band_margin is only safe
         with margin buckets."""
-        shape = shape + (_mask_plan()[0], bool(cfg.TPU.S2D_STEM))
+        shape = shape + (_mask_plan()[0], bool(cfg.TPU.S2D_STEM),
+                         bool(cfg.TPU.PALLAS_STEM))
         if shape in self._compiled:
             self._compiled.move_to_end(shape)
             return self._compiled[shape]
@@ -284,7 +286,8 @@ class TPUDetector:
                 valid_hw=(valid_h * detector_mod.FEAT_STRIDE,
                           valid_w * detector_mod.FEAT_STRIDE),
                 mask_mode=_mask_plan()[0],
-                s2d_stem=bool(cfg.TPU.S2D_STEM))
+                s2d_stem=bool(cfg.TPU.S2D_STEM),
+                pallas_stem=bool(cfg.TPU.PALLAS_STEM))
             return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
                                       min_size, score_thresh)
 
@@ -364,7 +367,8 @@ class TPUDetector:
                 _round_up(max(v_w + margin, cfg.MAX_RESOLUTION), bucket)))
         vote_method = str(cfg.TEST.NMS_METHOD) if self.device_vote else None
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP),
-               vote_method, mask_mode, bool(cfg.TPU.S2D_STEM))
+               vote_method, mask_mode, bool(cfg.TPU.S2D_STEM),
+               bool(cfg.TPU.PALLAS_STEM))
         return {
             "padded": padded,
             "key": key,

@@ -298,7 +298,7 @@ def _zero_band(h, v, width, axis, margin_ok=False):
 
 
 def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
-            mask_mode="band", s2d_stem=False):
+            mask_mode="band", s2d_stem=False, pallas_stem=False):
     """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
     of 16. Returns dict with:
       cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
@@ -346,6 +346,19 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
     Requires the caller's input to be zero beyond valid_hw (all
     production callers zero it; the output returns to full-res layout
     before conv1_2's band, so the masking discipline is unchanged).
+    (Measured moot in round 3 — conv1_1 costs ≈ 0 ms; superseded by
+    pallas_stem.)
+
+    pallas_stem runs conv1_1+relu+conv1_2+relu+pool1 as ONE fused Pallas
+    kernel (ops/pallas_stem.py): intermediates never touch HBM, the
+    valid-extent masking happens in-kernel, and the measured stem wall
+    drops from ~12 ms to ~1.2 ms at 1408×1920 (PERF_NOTES round 3).
+    Engages only when eligible (fp32 compute path, H % 8 == 0,
+    W % 128 == 0, W ≤ 4096 — bucketed inference shapes qualify; falls
+    back to the plain stem otherwise). Inference-only: no custom VJP is
+    defined. Numerics match the XLA stem to ~2e-5 relative (both run
+    bf16 MXU passes; the kernel adds one bf16 rounding on the stored
+    conv1_1 activation).
     """
     cd = compute_dtype
     if cd is not None:
@@ -395,7 +408,23 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
 
     h = mask(x)
     feats = {}
+    use_pallas_stem = (
+        pallas_stem and cd is None
+        and VGG_STAGES[0] == ("conv1", 64, 2)       # skeletal test models
+        and x.shape[1] % 8 == 0 and x.shape[2] % 128 == 0
+        and x.shape[2] <= 4096)
+    if use_pallas_stem:
+        from smallhardface_tpu.ops.pallas_stem import fused_stem
+        with jax.named_scope("pallas_stem"):
+            h = fused_stem(
+                h, params["conv1_1"]["w"], params["conv1_1"]["b"],
+                params["conv1_2"]["w"], params["conv1_2"]["b"],
+                valid_hw=valid_hw)
+        stride[0] *= 2
+        h = mask(h)       # "where" mode re-zeroes the padded region
     for si, (stage, _, n) in enumerate(VGG_STAGES):
+        if use_pallas_stem and stage == "conv1":
+            continue
         for i in range(1, n + 1):
             name = f"{stage}_{i}"
             if (s2d_stem and name == "conv1_1"
