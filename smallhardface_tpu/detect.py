@@ -168,7 +168,11 @@ class TPUDetector:
                               valid_w[li] * detector_mod.FEAT_STRIDE),
                     mask_mode=_mask_plan()[0],
                     s2d_stem=bool(cfg.TPU.S2D_STEM),
-                    pallas_stem=bool(cfg.TPU.PALLAS_STEM))
+                    # a Pallas custom call cannot be spatially
+                    # partitioned by the SPMD partitioner — the sharded
+                    # H axis must take the plain XLA stem
+                    pallas_stem=bool(cfg.TPU.PALLAS_STEM)
+                    and self.spatial_mesh is None)
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
@@ -287,7 +291,8 @@ class TPUDetector:
                           valid_w * detector_mod.FEAT_STRIDE),
                 mask_mode=_mask_plan()[0],
                 s2d_stem=bool(cfg.TPU.S2D_STEM),
-                pallas_stem=bool(cfg.TPU.PALLAS_STEM))
+                pallas_stem=bool(cfg.TPU.PALLAS_STEM)
+                and self.spatial_mesh is None)
             return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
                                       min_size, score_thresh)
 
