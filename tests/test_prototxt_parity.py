@@ -408,20 +408,25 @@ def test_train_template_matches_test_template():
                     f"{a['name']}.{key}: train {a[key]} != test {b[key]}")
 
 
+@pytest.mark.parametrize("dd", [True, False])
 @pytest.mark.parametrize("bm,hm", [(2.0, 1.0), (3.5, 0.5)])
-def test_lr_decay_multipliers_parity(bm, hm):
+def test_lr_decay_multipliers_parity(bm, hm, dd):
     """param_multipliers must equal the template ParamSpecs after
     _apply_mult_lr (manipulate.py:154-163), for the default config mults
-    and for arbitrary ones."""
-    net = surgered("train_different_dilation_template.prototxt",
-                   different_dilation=True, backbone_mult=bm, head_mult=hm)
+    and for arbitrary ones — on both the different-dilation and the
+    single-head train templates."""
+    template = ("train_different_dilation_template.prototxt" if dd
+                else "train_template.prototxt")
+    net = surgered(template, different_dilation=dd,
+                   backbone_mult=bm, head_mult=hm)
     proto_convs, _, _ = derive_graph(net)
-    spec = detector.ModelSpec(different_dilation=True,
+    spec = detector.ModelSpec(different_dilation=dd,
                               backbone_lr_mult=bm, head_lr_mult=hm)
     lr, decay = detector.param_multipliers(spec)
     seen = {}
+    name_map = dd_name_map if dd else (lambda n: n)
     for pc in proto_convs:
-        leaf = dd_name_map(pc["name"])
+        leaf = name_map(pc["name"])
         specs = pc["params"]
         expect = {}
         expect["w"] = (specs[0][1], specs[0][2])
