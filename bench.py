@@ -22,10 +22,9 @@ per-device estimate.
 Extra fields:
   p50_latency_s / iqr_latency_s — serialized per-image wall (median, IQR)
   breakdown — serialized per-image dispatch / readback / vote seconds
-  mfu — analytic-FLOPs model FLOP utilisation of the compute phase, from
-        XLA's own cost analysis of the compiled pyramid programs against
-        the chip's peak (fp32 path ≈ 49.2 TFLOP/s on v5e unless
-        TPU.PRECISION=bfloat16, then 197 TFLOP/s)
+  mfu — analytic model FLOPs over the compute wall against the 197 TF/s
+        MXU peak for BOTH precisions (measured: default fp32 executes as
+        one bf16-family MXU pass — see PEAK_FLOPS below and PERF_NOTES)
   setup_s — compile+first-readback wall (excluded from the metric; the JAX
         persistent compilation cache under .jax_cache/ makes re-runs fast)
 """
@@ -100,19 +99,29 @@ def main():
     import glob
     import jax.numpy as jnp
     weights_path = None
-    cands = ([str(cfg.TEST.MODEL)] if str(cfg.TEST.MODEL) else []) + sorted(
+    explicit = str(cfg.TEST.MODEL)
+    cands = ([explicit] if explicit else []) + sorted(
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "output", "**", "final.npz"), recursive=True),
         key=os.path.getmtime, reverse=True)
     for cand in cands:
-        if cand.endswith(".npz") and os.path.exists(cand):
-            try:
+        if not os.path.exists(cand):
+            if cand == explicit:
+                print(f"# WARNING: configured TEST.MODEL {cand} does not "
+                      "exist — falling back", file=sys.stderr)
+            continue
+        try:
+            if cand.endswith(".caffemodel"):
+                from smallhardface_tpu.io import caffemodel
+                params = caffemodel.load_into_params(cand, params)
+            else:
                 from smallhardface_tpu.io import checkpoint
                 params = checkpoint.load_params(cand, params)
-                weights_path = cand
-                break
-            except Exception as e:
-                print(f"# skipping weights {cand}: {e}", file=sys.stderr)
+            weights_path = cand
+            break
+        except Exception as e:
+            print(f"# {'WARNING: TEST.MODEL' if cand == explicit else 'skipping'}"
+                  f" {cand} failed to load: {e}", file=sys.stderr)
     if weights_path is None:
         for k in (1, 2, 4):
             params[f"cls_score_{k}"]["b"] = jnp.asarray([5.0, -5.0])

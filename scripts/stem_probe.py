@@ -19,7 +19,6 @@ Usage: python scripts/stem_probe.py [--h 1408] [--w 1920] [--reps 8]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,22 +37,9 @@ import jax.numpy as jnp
 print = functools.partial(print, flush=True)
 
 from smallhardface_tpu.models import detector as dm
-from smallhardface_tpu.models.layers import conv2d, max_pool_2x2
 
 
-def wall(fn, args, reps):
-    out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    # block_until_ready doesn't block through the tunnel: time a tiny
-    # device-side slice readback (CLAUDE.md)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-        ts.append(time.time() - t0)
-    return float(np.median(ts))
+from smallhardface_tpu.tools.measure import wall
 
 
 def main():
@@ -71,10 +57,8 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    # tunnel RTT baseline: a null dispatch + 1-element readback
-    tiny = jnp.zeros((8,), jnp.float32)
-    null = jax.jit(lambda x: x + 1.0)
-    rtt = wall(null, (tiny,), args.reps)
+    from smallhardface_tpu.tools.measure import rtt_baseline
+    rtt = rtt_baseline(args.reps)
     print(f"null dispatch+readback: {rtt*1e3:.1f} ms")
 
     # ---- 1. matmul precision probe ----
@@ -119,30 +103,12 @@ def main():
     params = jax.device_put(params)
     x = jax.device_put(jnp.zeros((1, args.h, args.w, 3), jnp.float32))
 
-    # stage list: (label, cumulative GFLOP at h x w)
-    stages = []
-    for stage, _, cnt in dm.VGG_STAGES:
-        for i in range(1, cnt + 1):
-            stages.append(f"{stage}_{i}")
-        if stage != "conv5":
-            stages.append(f"pool{stage[4:]}")
+    from smallhardface_tpu.tools.measure import (
+        vgg_stage_list, make_prefix_fn)
+    stages = vgg_stage_list(dm.VGG_STAGES)
 
     def make_prefix(k):
-        names = stages[:k]
-
-        def run(p, xx):
-            h = xx
-            s = 1
-            for nm in names:
-                if nm.startswith("pool"):
-                    h = max_pool_2x2(h)
-                    s *= 2
-                else:
-                    h = jax.nn.relu(conv2d(
-                        h, p[nm]["w"], p[nm]["b"], padding=1))
-            # reduce to keep the readback tiny and defeat DCE
-            return h.sum()
-        return jax.jit(run)
+        return make_prefix_fn(stages, k)
 
     shapes = dm.param_shapes(spec)
 

@@ -187,7 +187,7 @@ def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, interpret=False):
     """relu(conv3x3(relu(conv3x3(x, w1, b1)), w2, b2)) → 2×2/2 max pool,
     with exact valid-extent masking.
 
-    x: (B, H, W, 3) float32, H % 4 == 0, W % 128 == 0.
+    x: (B, H, W, 3) float32, H % 8 == 0, W % 128 == 0.
     valid_hw: (vh, vw) scalars or None (= full extent).
     Returns (B, H/2, W/2, 64) float32.
     """

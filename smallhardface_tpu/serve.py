@@ -43,10 +43,11 @@ class DetectorService:
     equivalent to the unbatched path (tests/test_serve.py). max_batch
     bounds images per dispatch (HBM: ~5 GB per full-pyramid image)."""
 
-    # generous per-request bound: covers a cold compile + the first
-    # tunnel readback (minutes); a dead batch thread surfaces as a 503
+    # generous per-request bound: must exceed the documented worst-case
+    # cold start (~300 s compile + up to 10 min first tunnel readback,
+    # CLAUDE.md) with margin; a dead batch thread surfaces as an error
     # instead of a forever-blocked client
-    REQUEST_TIMEOUT_S = 15 * 60
+    REQUEST_TIMEOUT_S = 30 * 60
 
     def __init__(self, params, spec, batch_window_ms=0, max_batch=2):
         from smallhardface_tpu.detect import TPUDetector

@@ -59,60 +59,29 @@ def collect_cycles(hlo_text, jit_name="run"):
 
 def _bisect(spec, params, x, args, jax, jnp, dm):
     """Measured per-stage attribution: time jitted PREFIXES of the VGG
-    stack (plus the complete forward) and difference the walls. Walls are
-    taken around a 1-element device-slice readback (block_until_ready
-    does not block through the axon tunnel); a null dispatch calibrates
-    the RTT baseline."""
+    stack (plus the complete forward) and difference the walls
+    (tools/measure.py holds the tunnel-safe timing helpers)."""
     import math
-    import time
 
     import numpy as np
 
-    from smallhardface_tpu.models.layers import conv2d, max_pool_2x2
-
-    def wall(fn, fargs):
-        out = fn(*fargs)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.time()
-            out = fn(*fargs)
-            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-            ts.append(time.time() - t0)
-        return float(np.median(ts))
+    from smallhardface_tpu.tools import measure
 
     h, w = args.size
     params = jax.device_put(params)
     xd = jax.device_put(x)
-    rtt = wall(jax.jit(lambda v: v + 1.0), (jnp.zeros((8,), jnp.float32),))
+    rtt = measure.rtt_baseline(args.reps)
     print(f"# null dispatch+readback (RTT baseline): {rtt*1e3:.1f} ms")
 
-    stages = []
-    for stage, _, cnt in dm.VGG_STAGES:
-        stages.extend(f"{stage}_{i}" for i in range(1, cnt + 1))
-        if stage != "conv5":
-            stages.append(f"pool{stage[4:]}")
-
-    def make_prefix(k):
-        names = stages[:k]
-
-        def run(p, xx):
-            hh = xx
-            for nm in names:
-                if nm.startswith("pool"):
-                    hh = max_pool_2x2(hh)
-                else:
-                    hh = jax.nn.relu(conv2d(
-                        hh, p[nm]["w"], p[nm]["b"], padding=1))
-            return hh.sum()          # tiny readback, defeats DCE
-        return jax.jit(run)
+    stages = measure.vgg_stage_list(dm.VGG_STAGES)
 
     shapes = dm.param_shapes(spec)
     print(f"# truncated forwards @ {h}x{w} (Δ = this stage; cumulative "
           f"walls include the RTT)")
     prev, s = rtt, 1
     for k, nm in enumerate(stages, 1):
-        t = wall(make_prefix(k), (params, xd))
+        t = measure.wall(measure.make_prefix_fn(stages, k), (params, xd),
+                         args.reps)
         d = t - prev
         gf = 0.0
         if not nm.startswith("pool"):
@@ -125,7 +94,7 @@ def _bisect(spec, params, x, args, jax, jnp, dm):
             s *= 2
     full = jax.jit(lambda p, xx: jax.tree_util.tree_map(
         jnp.sum, dm.forward(p, xx, spec)))
-    t = wall(full, (params, xd))
+    t = measure.wall(full, (params, xd), args.reps)
     tf = dm.forward_flops(spec, h, w) / max(t - rtt, 1e-9) / 1e12
     print(f"  {'FULL fwd':10s} cum {t*1e3:7.1f} ms   "
           f"(compute ~{(t-rtt)*1e3:.1f} ms, {tf:.1f} TF/s, "

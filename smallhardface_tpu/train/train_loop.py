@@ -421,10 +421,22 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         if n_procs == 1:
             return got
         from jax.experimental import multihost_utils
-        raw = np.max(multihost_utils.process_allgather(_batch_dims(got)),
-                     axis=0)
+        # piggyback the process-local signal flags on the bucket-dims
+        # allgather: a SIGINT/SIGHUP delivered to ONE process must act on
+        # ALL of them, or the others deadlock in the next collective
+        # (the reference's per-rank solvers shared the signal via the
+        # controlling terminal's process group)
+        msg = np.concatenate([
+            _batch_dims(got),
+            np.array([int(actions["stop"]), int(actions["snapshot"])],
+                     np.int64)])
+        agreed = np.max(multihost_utils.process_allgather(msg), axis=0)
+        if agreed[-2]:
+            actions["stop"] = True
+        if agreed[-1]:
+            actions["snapshot"] = True
         return assemble_batch(got, n_local, iter_size, gt_buckets,
-                              raw_dims=raw)
+                              raw_dims=agreed[:-2])
 
     snapshot_prefix = cfg.NAME if cfg.TRAIN.SNAPSHOT_INFIX == "" else \
         f"{cfg.NAME}_{cfg.TRAIN.SNAPSHOT_INFIX}"

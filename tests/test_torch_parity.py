@@ -22,10 +22,6 @@ def _torch_forward(params, x_nchw, spec, dtype=None):
     dtype = dtype or torch.float64
     t = {k: {kk: torch.from_numpy(np.asarray(vv)).to(dtype)
              for kk, vv in v.items()} for k, v in params.items()}
-    # inference-only oracle: autograd tracking would double the memory and
-    # slow the big production-shape fixture regeneration
-    ng = torch.no_grad()
-    ng.__enter__()
 
     def conv(x, name, dilation=1, padding=None):
         w = t[name]["w"].permute(3, 2, 0, 1)   # HWIO -> OIHW
@@ -37,6 +33,18 @@ def _torch_forward(params, x_nchw, spec, dtype=None):
     def cbr(x, name, dilation=1):
         return F.relu(conv(x, name, dilation))
 
+    # inference-only oracle: autograd tracking would double the memory
+    # and slow the big production-shape fixture regeneration; the
+    # decorator form cannot leak no-grad state on exceptions
+    @torch.no_grad()
+    def _run():
+        return _torch_forward_body(x_nchw, spec, t, conv, cbr, F)
+
+    return _run()
+
+
+def _torch_forward_body(x_nchw, spec, t, conv, cbr, F):
+    import torch
     h = x_nchw
     feats = {}
     for si, (stage, _, n) in enumerate(dm.VGG_STAGES):
@@ -73,7 +81,6 @@ def _torch_forward(params, x_nchw, spec, dtype=None):
         A = spec.num_anchors
         cls = raw_cls.reshape(b, 2, A, hh, ww).permute(0, 3, 4, 2, 1)
         box = raw_box.reshape(b, A, 4, hh, ww).permute(0, 3, 4, 1, 2)
-    ng.__exit__(None, None, None)
     return cls.numpy(), box.numpy()
 
 
