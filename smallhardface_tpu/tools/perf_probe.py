@@ -77,21 +77,25 @@ def main():
     # time and misrepresent the cost). valid = size-32 (the band_margin
     # bucket contract; representative for the others too).
     vh_t, vw_t = jnp.int32(h - 32), jnp.int32(w - 32)
-    for label, cd, mode in (
-            ("fwd_fp32_where", None, "where"),
-            ("fwd_fp32_band", None, "band"),
-            ("fwd_fp32_band_margin", None, "band_margin"),
-            ("fwd_fp32_unmasked", None, None),
-            ("fwd_bf16_where", jnp.bfloat16, "where"),
-            ("fwd_bf16_band_margin", jnp.bfloat16, "band_margin"),
-            ("fwd_bf16_unmasked", jnp.bfloat16, None)):
+    for label, cd, mode, ps in (
+            ("fwd_fp32_where", None, "where", False),
+            ("fwd_fp32_band", None, "band", False),
+            ("fwd_fp32_band_margin", None, "band_margin", False),
+            ("fwd_fp32_unmasked", None, None, False),
+            ("fwd_fp32_band_margin_pallas", None, "band_margin", True),
+            ("fwd_fp32_unmasked_pallas", None, None, True),
+            ("fwd_bf16_where", jnp.bfloat16, "where", False),
+            ("fwd_bf16_band_margin", jnp.bfloat16, "band_margin", False),
+            ("fwd_bf16_unmasked", jnp.bfloat16, None, False)):
         if mode is None:
-            def run(p, xx, vh, vw, cd=cd):
-                return dm.forward(p, xx, spec, compute_dtype=cd)
-        else:
-            def run(p, xx, vh, vw, cd=cd, mode=mode):
+            def run(p, xx, vh, vw, cd=cd, ps=ps):
                 return dm.forward(p, xx, spec, compute_dtype=cd,
-                                  valid_hw=(vh, vw), mask_mode=mode)
+                                  pallas_stem=ps)
+        else:
+            def run(p, xx, vh, vw, cd=cd, mode=mode, ps=ps):
+                return dm.forward(p, xx, spec, compute_dtype=cd,
+                                  valid_hw=(vh, vw), mask_mode=mode,
+                                  pallas_stem=ps)
 
         fn = jax.jit(run)
         wall = _timed(fn, (params, x, vh_t, vw_t), args.iters)
