@@ -129,3 +129,34 @@ def test_forward_wiring_equivalence():
     b = dm.forward(params, x2, spec)
     np.testing.assert_array_equal(np.asarray(a["cls_logits"]),
                                   np.asarray(b["cls_logits"]))
+
+
+def test_flagship_config_enables_and_keys_the_kernel():
+    """The flagship config turns TPU.PALLAS_STEM on, and the detector's
+    compiled-program cache keys include the flag (the round-2 S2D lesson:
+    a config change that isn't in the key silently reuses stale
+    programs)."""
+    import tomllib
+    import os
+    from smallhardface_tpu.config import cfg
+    from smallhardface_tpu.detect import TPUDetector
+
+    conf = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "smallhardface_tpu", "configs",
+        "smallhardface.toml")
+    with open(conf, "rb") as f:
+        assert tomllib.load(f)["TPU"]["PALLAS_STEM"] is True
+
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    det = TPUDetector(params, spec)
+    im = np.zeros((40, 56, 3), np.uint8)
+    old = cfg.TPU.PALLAS_STEM
+    try:
+        cfg.TPU.PALLAS_STEM = False
+        key_off = det._prep(im)["key"]
+        cfg.TPU.PALLAS_STEM = True
+        key_on = det._prep(im)["key"]
+    finally:
+        cfg.TPU.PALLAS_STEM = old
+    assert key_on != key_off, "PALLAS_STEM missing from the program key"
