@@ -409,17 +409,25 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
     h = mask(x)
     feats = {}
     use_pallas_stem = (
-        pallas_stem and cd is None
+        pallas_stem and cd in (None, jnp.bfloat16)
         and VGG_STAGES[0] == ("conv1", 64, 2)       # skeletal test models
         and x.shape[1] % 8 == 0 and x.shape[2] % 128 == 0
         and x.shape[2] <= 4096)
     if use_pallas_stem:
         from smallhardface_tpu.ops.pallas_stem import fused_stem
         with jax.named_scope("pallas_stem"):
+            # the kernel is fp32-in/out (internally bf16 dots, like both
+            # precision modes' MXU passes); under compute_dtype=bf16 the
+            # activations upcast losslessly in and round back out
             h = fused_stem(
-                h, params["conv1_1"]["w"], params["conv1_1"]["b"],
-                params["conv1_2"]["w"], params["conv1_2"]["b"],
+                h.astype(jnp.float32),
+                params["conv1_1"]["w"].astype(jnp.float32),
+                params["conv1_1"]["b"].astype(jnp.float32),
+                params["conv1_2"]["w"].astype(jnp.float32),
+                params["conv1_2"]["b"].astype(jnp.float32),
                 valid_hw=valid_hw)
+        if cd is not None:
+            h = h.astype(cd)
         stride[0] *= 2
         h = mask(h)       # "where" mode re-zeroes the padded region
     for si, (stage, _, n) in enumerate(VGG_STAGES):

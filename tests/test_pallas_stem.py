@@ -160,3 +160,29 @@ def test_flagship_config_enables_and_keys_the_kernel():
     finally:
         cfg.TPU.PALLAS_STEM = old
     assert key_on != key_off, "PALLAS_STEM missing from the program key"
+
+
+def test_bf16_precision_path_uses_kernel():
+    """compute_dtype=bfloat16 also routes through the kernel (fp32 in/out
+    with lossless upcast) — without this, bf16 mode would silently lose
+    the stem win and run SLOWER than fp32."""
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(5), spec)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 32, 128, 3).astype(np.float32) * 30)
+
+    import smallhardface_tpu.ops.pallas_stem as ps
+    plain = dm.forward(params, x, spec, compute_dtype=jnp.bfloat16)
+    if INTERP:
+        orig = ps.fused_stem
+        ps.fused_stem = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        fused = dm.forward(params, x, spec, compute_dtype=jnp.bfloat16,
+                           pallas_stem=True)
+    finally:
+        if INTERP:
+            ps.fused_stem = orig
+    a, b = np.asarray(fused["cls_logits"]), np.asarray(plain["cls_logits"])
+    # both paths carry bf16 activation noise; agreement at the bf16 scale
+    np.testing.assert_allclose(a, b, rtol=1e-1,
+                               atol=0.05 * np.abs(b).max())
