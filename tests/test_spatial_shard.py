@@ -53,3 +53,31 @@ def test_detect_spatial_sharded_matches_single():
                                    rtol=1e-4, atol=1e-3)
     finally:
         cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET = old
+
+
+def test_spatial_mesh_ignores_pallas_stem_flag():
+    """A Pallas custom call cannot be spatially partitioned, so the
+    spatial-mesh detector must take the plain XLA stem even when
+    TPU.PALLAS_STEM is on — same detections, no crash (the guard lives in
+    detect.py's forward calls)."""
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TPU.PALLAS_STEM)
+    cfg.TEST.SCALES = [60]
+    cfg.TEST.FLIP = False
+    cfg.TPU.TEST_BUCKET = 64
+    cfg.TPU.PALLAS_STEM = True
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(1), spec)
+        im = (np.random.RandomState(3).uniform(0, 255, (96, 128, 3))
+              .astype(np.uint8))
+        mesh = make_spatial_mesh(4)
+        det = TPUDetector(params, spec, spatial_mesh=mesh)
+        sharded = det.detect(im, thresh=0.05)[0][0]
+        cfg.TPU.PALLAS_STEM = False
+        det_off = TPUDetector(params, spec, spatial_mesh=mesh)
+        plain = det_off.detect(im, thresh=0.05)[0][0]
+        np.testing.assert_array_equal(sharded, plain)
+    finally:
+        (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+         cfg.TPU.PALLAS_STEM) = old
