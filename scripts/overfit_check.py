@@ -35,7 +35,7 @@ AP_RE = re.compile(
 
 
 def run(iters=300, n_dev=2, im_size=192, use_tpu=False, keep_output=False,
-        verbose=True):
+        verbose=True, extra_amends=()):
     """Returns (easy, medium, hard) AP floats."""
     import synth_wider
 
@@ -76,6 +76,7 @@ def run(iters=300, n_dev=2, im_size=192, use_tpu=False, keep_output=False,
         "TPU.NUM_DEVICES", str(n_dev),
         "TEST.SCALES", f"[{im_size}]",
         "TEST.MAX_SIZE", str(2 * im_size),
+        *extra_amends,
     ]
     # ROOT_DIR is amended to the scratch dir so artifacts stay out of the
     # real output/ tree; the CLI itself runs from the repo
@@ -118,9 +119,12 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default (TPU) platform instead of "
                     "forcing a virtual CPU mesh")
+    ap.add_argument("--amend", nargs="*", default=[],
+                    help="extra KEY VALUE pairs appended to the CLI's "
+                    "--amend list (e.g. TPU.PALLAS_STEM_TRAIN True)")
     args = ap.parse_args()
     aps = run(iters=args.iters, n_dev=args.ndev, im_size=args.im_size,
-              use_tpu=args.tpu)
+              use_tpu=args.tpu, extra_amends=tuple(args.amend))
     assert min(aps) > 0.95, f"overfit check FAILED: AP={aps}"
     print(f"OVERFIT CHECK PASSED: AP={aps}")
 

@@ -298,7 +298,8 @@ def _zero_band(h, v, width, axis, margin_ok=False):
 
 
 def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
-            mask_mode="band", s2d_stem=False, pallas_stem=False):
+            mask_mode="band", s2d_stem=False, pallas_stem=False,
+            stem_vma=None):
     """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
     of 16. Returns dict with:
       cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
@@ -354,11 +355,14 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
     valid-extent masking happens in-kernel, and the measured stem wall
     drops from ~12 ms to ~1.2 ms at 1408×1920 (PERF_NOTES round 3).
     Engages only when eligible (fp32 compute path, H % 8 == 0,
-    W % 128 == 0, W ≤ 4096 — bucketed inference shapes qualify; falls
-    back to the plain stem otherwise). Inference-only: no custom VJP is
-    defined. Numerics match the XLA stem to ~2e-5 relative (both run
-    bf16 MXU passes; the kernel adds one bf16 rounding on the stored
-    conv1_1 activation).
+    W % 128 == 0, W ≤ 4096 — bucketed inference AND training shapes
+    qualify; falls back to the plain stem otherwise). Numerics match the
+    XLA stem to ~2e-5 relative (both run bf16 MXU passes; the kernel adds
+    one bf16 rounding on the stored conv1_1 activation). Differentiable:
+    the op carries a fused backward kernel emitting the four stem weight
+    grads without materializing activations in HBM (TPU.PALLAS_STEM_TRAIN
+    routes the train step here). stem_vma: varying-axis names when the
+    forward runs inside shard_map (training DP).
     """
     cd = compute_dtype
     if cd is not None:
@@ -425,7 +429,7 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
                 params["conv1_1"]["b"].astype(jnp.float32),
                 params["conv1_2"]["w"].astype(jnp.float32),
                 params["conv1_2"]["b"].astype(jnp.float32),
-                valid_hw=valid_hw)
+                valid_hw=valid_hw, vma=stem_vma)
         if cd is not None:
             h = h.astype(cd)
         stride[0] *= 2

@@ -130,8 +130,22 @@ def _kernel(scal_ref, xp_ref, xc_ref, xn_ref, w1_ref, b1_ref, w2_ref,
     out_ref[0] = pooled
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _stem_call(xcf, w1col, b1, w2taps, b2, valid, *, interpret=False):
+def _pvary(vma, *args):
+    """Promote replicated operands to varying over `vma` — pallas_call
+    requires every operand to carry the SAME varying-axis set under
+    shard_map (the weights are replicated while the activations vary)."""
+    if not vma:
+        return args
+    return tuple(jax.lax.pcast(a, tuple(vma), to="varying")
+                 if not (jax.typeof(a).vma & set(vma)) else a
+                 for a in args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+def _stem_call(xcf, w1col, b1, w2taps, b2, valid, *, interpret=False,
+               vma=None):
+    xcf, w1col, b1, w2taps, b2, valid = _pvary(
+        vma, xcf, w1col, b1, w2taps, b2, valid)
     B, _, H, W = xcf.shape
     grid = (B, H // TH)
 
@@ -163,7 +177,8 @@ def _stem_call(xcf, w1col, b1, w2taps, b2, valid, *, interpret=False):
     return pl.pallas_call(
         functools.partial(_kernel, H=H, W=W),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, 64),
-                                       jnp.float32),
+                                       jnp.float32,
+                                       vma=frozenset(vma) if vma else None),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -183,13 +198,21 @@ def prep_weights(w1, b1, w2, b2):
             w2taps, jnp.reshape(b2, (64, 1)))
 
 
-def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, interpret=False):
+def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, interpret=False,
+               vma=None):
     """relu(conv3x3(relu(conv3x3(x, w1, b1)), w2, b2)) → 2×2/2 max pool,
     with exact valid-extent masking.
 
     x: (B, H, W, 3) float32, H % 8 == 0, W % 128 == 0.
     valid_hw: (vh, vw) scalars or None (= full extent).
+    vma: varying-axis names under shard_map (like ops/pallas_iou.py).
     Returns (B, H/2, W/2, 64) float32.
+
+    Differentiable: a custom VJP runs the fused backward kernel below,
+    emitting d(w1, b1, w2, b2) only (the image gets zeros — the detector
+    never differentiates wrt the input). Exact backward parity with the
+    XLA composition requires EVEN valid extents (training valid_hw is
+    stride-8-aligned); the primal has no such restriction.
     """
     B, H, W, C = x.shape
     assert C == 3 and H % TH == 0 and W % 128 == 0, (B, H, W, C)
@@ -198,7 +221,321 @@ def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, interpret=False):
     else:
         valid = jnp.stack([jnp.asarray(valid_hw[0], jnp.int32),
                            jnp.asarray(valid_hw[1], jnp.int32)])
+    return _stem_op(x, w1, b1, w2, b2, valid, interpret,
+                    tuple(vma) if vma else None)
+
+
+
+# ---------------------------------------------------------------------------
+# Fused stem BACKWARD: d(w1, b1, w2, b2) in one kernel.
+#
+# XLA's gradient of the stem chain measures ~22 ms at 768×1024 (15 % of a
+# train step): SelectAndScatter for the pool plus full-resolution
+# correlation passes, each round-tripping ~200 MB activations through
+# HBM. This kernel recomputes c1 in VMEM row strips (conv1 is ~5 % of the
+# stem FLOPs), derives the pool/relu backward in-register, and emits ONLY
+# the parameter gradients (~160 KB) — the input image needs no gradient,
+# so nothing large is ever written back.
+#
+# Gradient semantics match the XLA composition:
+#   - pool backward routes dy to the FIRST maximal element of the 2×2
+#     window in row-major order (reduce_window's tie order);
+#   - relu backward masks with (activation > 0);
+#   - the valid-extent masking's vjp falls out of the recomputed MASKED
+#     activations (zero there ⇒ relu masks discard those gradients); dy
+#     is additionally zeroed beyond the pooled valid extent.
+# Dots run in bf16 with f32 accumulation, like the forward.
+# ---------------------------------------------------------------------------
+
+
+def _grad_kernel(scal_ref, xp_ref, xc_ref, xn_ref, dyp_ref, dyc_ref,
+                 dyn_ref, w1_ref, b1_ref, w2t_ref, w2_ref, b2_ref,
+                 dw1_ref, db1_ref, dw2_ref, db2_ref,
+                 xs_ref, c1_ref, dy_ref, dp2_ref, xcol_ref, *, H, W):
+    i = pl.program_id(1)
+    b = pl.program_id(0)
+    n_i = pl.num_programs(1)
+    vh = scal_ref[0]
+    vw = scal_ref[1]
+    HB = TH // 2            # pooled rows per strip
+    WB = W // 2
+
+    @pl.when((b == 0) & (i == 0))
+    def _():
+        dw1_ref[:] = jnp.zeros((32, 64), jnp.float32)
+        db1_ref[:] = jnp.zeros((8, 64), jnp.float32)
+        dw2_ref[:] = jnp.zeros((9 * 64, 64), jnp.float32)
+        db2_ref[:] = jnp.zeros((8, 64), jnp.float32)
+
+    # ---- assemble x rows [i*TH-4, i*TH+TH+4) → xs (TH+8, 3, W+4) ----
+    xs_ref[4:TH + 4, :, 2:W + 2] = jnp.transpose(xc_ref[0], (1, 0, 2))
+    xs_ref[0:4, :, 2:W + 2] = jnp.transpose(
+        xp_ref[0, :, TH - 4:TH, :], (1, 0, 2))
+    xs_ref[TH + 4:TH + 8, :, 2:W + 2] = jnp.transpose(
+        xn_ref[0, :, 0:4, :], (1, 0, 2))
+    xs_ref[:, :, 0:2] = jnp.zeros((TH + 8, 3, 2), jnp.float32)
+    xs_ref[:, :, W + 2:W + 4] = jnp.zeros((TH + 8, 3, 2), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        xs_ref[0:4] = jnp.zeros((4, 3, W + 4), jnp.float32)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        xs_ref[TH + 4:TH + 8] = jnp.zeros((4, 3, W + 4), jnp.float32)
+
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (TH + 8, 1, W + 4), 0) + i * TH - 4
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TH + 8, 1, W + 4), 2) - 2
+    xs_ref[:] = jnp.where((rows < vh) & (cols < vw), xs_ref[:], 0.0)
+
+    # ---- assemble dy pooled rows [i*HB-1, i*HB+HB+1) → (HB+2, 64, WB) ---
+    dy_ref[1:HB + 1] = jnp.transpose(dyc_ref[0], (1, 0, 2))
+    dy_ref[0:1] = jnp.transpose(dyp_ref[0, :, HB - 1:HB, :], (1, 0, 2))
+    dy_ref[HB + 1:HB + 2] = jnp.transpose(dyn_ref[0, :, 0:1, :], (1, 0, 2))
+
+    @pl.when(i == 0)
+    def _():
+        dy_ref[0:1] = jnp.zeros((1, 64, WB), jnp.float32)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dy_ref[HB + 1:HB + 2] = jnp.zeros((1, 64, WB), jnp.float32)
+
+    qrows = jax.lax.broadcasted_iota(
+        jnp.int32, (HB + 2, 1, WB), 0) + i * HB - 1
+    qcols = jax.lax.broadcasted_iota(jnp.int32, (HB + 2, 1, WB), 2)
+    dy_ref[:] = jnp.where(
+        (qrows >= 0) & (qrows * 2 < vh) & (qcols * 2 < vw), dy_ref[:], 0.0)
+
+    # ---- recompute c1 rows global [i*TH-3, i*TH+TH+3) (c1 offset = g -
+    # (i*TH-3)); xs offset of global row g-1 is (g-1)-(i*TH-4) = r1 ----
+    c1_cols = jax.lax.broadcasted_iota(jnp.int32, (64, W + 2), 1) - 1
+    xcol_ref[27:32] = jnp.zeros((5, W + 2), jnp.float32)
+
+    def row1(r1, _):
+        for t in range(9):
+            dy_, dx_ = t // 3, t % 3
+            xcol_ref[t * 3:t * 3 + 3] = \
+                xs_ref[r1 + dy_, :, dx_:dx_ + W + 2]
+        acc = jax.lax.dot(
+            w1_ref[:].astype(jnp.bfloat16),
+            xcol_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        act = jnp.maximum(acc + b1_ref[:], 0.0)
+        grow = i * TH - 3 + r1
+        inside = (grow >= 0) & (grow < vh) & (c1_cols >= 0) & \
+            (c1_cols < vw)
+        c1_ref[r1] = jnp.where(inside, act, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, TH + 6, row1, 0)
+
+    # ---- pool/relu backward: dpre2 rows global [i*TH-1, i*TH+TH+1)
+    # (dp2 offset = g - (i*TH-1), with a zero column pad on both sides).
+    # Per pooled row q: recompute the c2 row pair, find the first maximal
+    # window element (row-major), route dy, apply the relu mask. ----
+    dp2_ref[:, :, 0:1] = jnp.zeros((TH + 2, 64, 1), jnp.float32)
+    dp2_ref[:, :, W + 1:W + 2] = jnp.zeros((TH + 2, 64, 1), jnp.float32)
+
+    def c2_row(g_off):
+        """c2 row at global i*TH-2+g_off from c1 offsets g_off..g_off+2
+        (c1 offset of global g' - 1 is (g'-1)-(i*TH-3) = g_off where
+        g' = i*TH-2+g_off)."""
+        acc = jnp.broadcast_to(b2_ref[:], (64, W))
+        for t in range(9):
+            dy_, dx_ = t // 3, t % 3
+            sl = c1_ref[g_off + dy_, :, dx_:dx_ + W]
+            acc = acc + jax.lax.dot(
+                w2t_ref[t].astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        return jnp.maximum(acc, 0.0)          # masked c1 ⇒ pad cols ≥ vw
+                                              # still get relu(b2); dy=0
+                                              # there discards them
+
+    def pooled_row(q_loc, _):
+        # global pooled row q = i*HB - 1 + q_loc; c2 rows 2q, 2q+1 have
+        # c2-row offsets (2q)-(i*TH-2) = 2*q_loc .. +1
+        r0 = c2_row(2 * q_loc)                # (64, W)
+        r1 = c2_row(2 * q_loc + 1)
+        a0 = jnp.transpose(r0, (1, 0)).reshape(WB, 2, 64)
+        a1 = jnp.transpose(r1, (1, 0)).reshape(WB, 2, 64)
+        v00, v01 = a0[:, 0, :], a0[:, 1, :]
+        v10, v11 = a1[:, 0, :], a1[:, 1, :]
+        m = jnp.maximum(jnp.maximum(v00, v01), jnp.maximum(v10, v11))
+        e00 = v00 == m
+        e01 = (v01 == m) & ~e00
+        e10 = (v10 == m) & ~e00 & ~e01
+        e11 = (v11 == m) & ~e00 & ~e01 & ~e10
+        dyq = jnp.transpose(dy_ref[q_loc], (1, 0))          # (WB, 64)
+        # relu backward folds in: activation > 0
+        d00 = jnp.where(e00 & (v00 > 0), dyq, 0.0)
+        d01 = jnp.where(e01 & (v01 > 0), dyq, 0.0)
+        d10 = jnp.where(e10 & (v10 > 0), dyq, 0.0)
+        d11 = jnp.where(e11 & (v11 > 0), dyq, 0.0)
+        row0 = jnp.stack([d00, d01], axis=1).reshape(WB * 2, 64)
+        row1v = jnp.stack([d10, d11], axis=1).reshape(WB * 2, 64)
+        # dp2 offset of global 2q is (2q)-(i*TH-1) = 2*q_loc - 1
+        o = 2 * q_loc - 1
+
+        @pl.when(o >= 0)
+        def _():
+            dp2_ref[o, :, 1:W + 1] = jnp.transpose(row0, (1, 0))
+
+        @pl.when(o + 1 < TH + 2)
+        def _():
+            dp2_ref[o + 1, :, 1:W + 1] = jnp.transpose(row1v, (1, 0))
+        return 0
+
+    jax.lax.fori_loop(0, HB + 2, pooled_row, 0)
+
+    # ---- dw2 / db2 from the strip's OWN c2 rows: dp2 offsets 1..TH ----
+    def own_row2(o, _):
+        d = dp2_ref[o, :, 1:W + 1]                           # (64, W)
+        db2_ref[0:1] = db2_ref[0:1] + jnp.sum(d, axis=1)[None, :]
+        dT = jnp.transpose(d, (1, 0)).astype(jnp.bfloat16)   # (W, 64)
+        # c1 offset of global (g+dy-1) where g = i*TH-1+o:
+        # (g+dy-1)-(i*TH-3) = o + dy + 1
+        for t in range(9):
+            dy_, dx_ = t // 3, t % 3
+            sl = c1_ref[o + dy_ + 1, :, dx_:dx_ + W]
+            dw2_ref[t * 64:(t + 1) * 64] = dw2_ref[
+                t * 64:(t + 1) * 64] + jax.lax.dot(
+                sl.astype(jnp.bfloat16), dT,
+                preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(1, TH + 1, own_row2, 0)
+
+    # ---- dc1 rows global [i*TH, i*TH+TH) → dpre1 → dw1 / db1 ----
+    def own_row1(r, _):
+        # dc1 global g = i*TH + r ← dpre2 rows g-1..g+1 (dp2 offsets
+        # (g')-(i*TH-1) = r .. r+2), columns shifted by 1-dx (the zero
+        # column pads make the shifts plain slices)
+        acc = jnp.zeros((64, W), jnp.float32)
+        for t in range(9):
+            dy_, dx_ = t // 3, t % 3
+            # dc1[g] += w2[dy,dx]^T(ci←co) · dpre2[g+1-dy, cols+1-dx]
+            dsl = dp2_ref[r + 2 - dy_, :, 2 - dx_:2 - dx_ + W]
+            acc = acc + jax.lax.dot(
+                w2_ref[t].astype(jnp.bfloat16), dsl.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        # relu mask from the recomputed c1 (offset of global g is r+3);
+        # masked c1 is zero beyond valid ⇒ gradients discarded there too
+        dpre1 = jnp.where(c1_ref[r + 3, :, 1:W + 1] > 0, acc, 0.0)
+        db1_ref[0:1] = db1_ref[0:1] + jnp.sum(dpre1, axis=1)[None, :]
+        dT = jnp.transpose(dpre1, (1, 0)).astype(jnp.bfloat16)  # (W, 64)
+        # xs offset of global (g+dy-1) is (g+dy-1)-(i*TH-4) = r+dy+3
+        for t in range(9):
+            dy_, dx_ = t // 3, t % 3
+            sl = xs_ref[r + dy_ + 3, :, dx_ + 1:dx_ + 1 + W]
+            dw1_ref[t * 3:t * 3 + 3] = dw1_ref[
+                t * 3:t * 3 + 3] + jax.lax.dot(
+                sl.astype(jnp.bfloat16), dT,
+                preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, TH, own_row1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+def _stem_grad_call(xcf, dycf, w1col, b1, w2taps_t, w2taps, b2, valid, *,
+                    interpret=False, vma=None):
+    xcf, dycf, w1col, b1, w2taps_t, w2taps, b2, valid = _pvary(
+        vma, xcf, dycf, w1col, b1, w2taps_t, w2taps, b2, valid)
+    B, _, H, W = xcf.shape
+    grid = (B, H // TH)
+    HB = TH // 2
+    n_i = H // TH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, TH, W),
+                         lambda b, i, s: (b, 0, jnp.maximum(i - 1, 0), 0)),
+            pl.BlockSpec((1, 3, TH, W), lambda b, i, s: (b, 0, i, 0)),
+            pl.BlockSpec((1, 3, TH, W),
+                         lambda b, i, s: (
+                             b, 0, jnp.minimum(i + 1, n_i - 1), 0)),
+            pl.BlockSpec((1, 64, HB, W // 2),
+                         lambda b, i, s: (b, 0, jnp.maximum(i - 1, 0), 0)),
+            pl.BlockSpec((1, 64, HB, W // 2), lambda b, i, s: (b, 0, i, 0)),
+            pl.BlockSpec((1, 64, HB, W // 2),
+                         lambda b, i, s: (
+                             b, 0, jnp.minimum(i + 1, n_i - 1), 0)),
+            pl.BlockSpec((64, 32), lambda b, i, s: (0, 0)),
+            pl.BlockSpec((64, 1), lambda b, i, s: (0, 0)),
+            pl.BlockSpec((9, 64, 64), lambda b, i, s: (0, 0, 0)),
+            pl.BlockSpec((9, 64, 64), lambda b, i, s: (0, 0, 0)),
+            pl.BlockSpec((64, 1), lambda b, i, s: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((32, 64), lambda b, i, s: (0, 0)),
+            pl.BlockSpec((8, 64), lambda b, i, s: (0, 0)),
+            pl.BlockSpec((9 * 64, 64), lambda b, i, s: (0, 0)),
+            pl.BlockSpec((8, 64), lambda b, i, s: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, 3, W + 4), jnp.float32),
+            pltpu.VMEM((TH + 6, 64, W + 2), jnp.float32),
+            pltpu.VMEM((TH // 2 + 2, 64, W // 2), jnp.float32),
+            pltpu.VMEM((TH + 2, 64, W + 2), jnp.float32),
+            pltpu.VMEM((32, W + 2), jnp.float32),
+        ],
+    )
+    fvma = frozenset(vma) if vma else None
+    dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_grad_kernel, H=H, W=W),
+        out_shape=[
+            jax.ShapeDtypeStruct((32, 64), jnp.float32, vma=fvma),
+            jax.ShapeDtypeStruct((8, 64), jnp.float32, vma=fvma),
+            jax.ShapeDtypeStruct((9 * 64, 64), jnp.float32, vma=fvma),
+            jax.ShapeDtypeStruct((8, 64), jnp.float32, vma=fvma),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(valid, xcf, xcf, xcf, dycf, dycf, dycf,
+      w1col, b1, w2taps_t, w2taps, b2)
+    # kernel layouts → HWIO grads
+    dw1_hwio = dw1[:27].reshape(3, 3, 3, 64)
+    dw2_hwio = dw2.reshape(3, 3, 64, 64)
+    return dw1_hwio, db1[0], dw2_hwio, db2[0]
+
+
+def _np_float0_like(x):
+    import numpy as _np
+    return _np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _stem_op(x, w1, b1, w2, b2, valid, interpret, vma):
     xcf = jnp.transpose(x, (0, 3, 1, 2))
-    w1col, b1c, w2taps, b2c = prep_weights(w1, b1, w2, b2)
-    return _stem_call(xcf, w1col, b1c, w2taps, b2c, valid,
-                      interpret=interpret)
+    w1col, b1c, w2taps_t, b2c = prep_weights(w1, b1, w2, b2)
+    return _stem_call(xcf, w1col, b1c, w2taps_t, b2c, valid,
+                      interpret=interpret, vma=vma)
+
+
+def _stem_op_fwd(x, w1, b1, w2, b2, valid, interpret, vma):
+    return (_stem_op(x, w1, b1, w2, b2, valid, interpret, vma),
+            (x, w1, b1, w2, b2, valid))
+
+
+def _stem_op_bwd(interpret, vma, res, dy):
+    x, w1, b1, w2, b2, valid = res
+    xcf = jnp.transpose(x, (0, 3, 1, 2))
+    dycf = jnp.transpose(dy, (0, 3, 1, 2))
+    w1col, b1c, w2taps_t, b2c = prep_weights(w1, b1, w2, b2)
+    w2taps = jnp.reshape(w2, (9, 64, 64))            # (ci, co) per tap
+    dw1, db1, dw2, db2 = _stem_grad_call(
+        xcf, dycf, w1col, b1c, w2taps_t, w2taps, b2c, valid,
+        interpret=interpret, vma=vma)
+    # the image carries no gradient in this detector (conv1_1 reads the
+    # input); a symbolic-zero would be nicer but custom_vjp wants arrays
+    return (jnp.zeros_like(x), dw1, db1, dw2, db2,
+            _np_float0_like(valid))
+
+
+_stem_op.defvjp(_stem_op_fwd, _stem_op_bwd)

@@ -53,7 +53,12 @@ def main():
                     help="also time the production train step "
                          "(768x1024 iter_size 1, 512x640 iter_size 2) "
                          "under both mask modes")
+    ap.add_argument("--train-only", action="store_true",
+                    help="skip the forward/batching probes (train-step "
+                         "timing only)")
     args = ap.parse_args()
+    if args.train_only:
+        args.train = True
 
     import jax
     import jax.numpy as jnp
@@ -77,7 +82,7 @@ def main():
     # time and misrepresent the cost). valid = size-32 (the band_margin
     # bucket contract; representative for the others too).
     vh_t, vw_t = jnp.int32(h - 32), jnp.int32(w - 32)
-    for label, cd, mode, ps in (
+    fwd_probes = () if args.train_only else (
             ("fwd_fp32_where", None, "where", False),
             ("fwd_fp32_band", None, "band", False),
             ("fwd_fp32_band_margin", None, "band_margin", False),
@@ -86,7 +91,8 @@ def main():
             ("fwd_fp32_unmasked_pallas", None, None, True),
             ("fwd_bf16_where", jnp.bfloat16, "where", False),
             ("fwd_bf16_band_margin", jnp.bfloat16, "band_margin", False),
-            ("fwd_bf16_unmasked", jnp.bfloat16, None, False)):
+            ("fwd_bf16_unmasked", jnp.bfloat16, None, False))
+    for label, cd, mode, ps in fwd_probes:
         if mode is None:
             def run(p, xx, vh, vw, cd=cd, ps=ps):
                 return dm.forward(p, xx, spec, compute_dtype=cd,
@@ -106,25 +112,28 @@ def main():
         print(json.dumps({"probe": label, "size": [h, w], **results[label]}),
               flush=True)
 
-    # batching: B copies of the same forward in one dispatch
-    xb = jnp.asarray(rng.randn(args.batch, h // 2, w // 2, 3)
-                     .astype(np.float32) * 30)
-    x1 = xb[:1]
-    f_b = jax.jit(lambda p, xx: dm.forward(p, xx, spec))
-    w1 = _timed(f_b, (params, x1), args.iters)
-    wb = _timed(f_b, (params, xb), args.iters)
-    print(json.dumps({
-        "probe": "batching", "size": [h // 2, w // 2], "batch": args.batch,
-        "ms_b1": round(w1 * 1e3, 2), "ms_bN": round(wb * 1e3, 2),
-        "speedup_per_image": round(args.batch * w1 / wb, 2),
-    }), flush=True)
+    if not args.train_only:
+        # batching: B copies of the same forward in one dispatch
+        xb = jnp.asarray(rng.randn(args.batch, h // 2, w // 2, 3)
+                         .astype(np.float32) * 30)
+        x1 = xb[:1]
+        f_b = jax.jit(lambda p, xx: dm.forward(p, xx, spec))
+        w1 = _timed(f_b, (params, x1), args.iters)
+        wb = _timed(f_b, (params, xb), args.iters)
+        print(json.dumps({
+            "probe": "batching", "size": [h // 2, w // 2],
+            "batch": args.batch,
+            "ms_b1": round(w1 * 1e3, 2), "ms_bN": round(wb * 1e3, 2),
+            "speedup_per_image": round(args.batch * w1 / wb, 2),
+        }), flush=True)
 
     if args.train:
         # "production" = whatever mask_plan(train=True) picks for the
         # configured mode ("where" today); "band_margin_forced" overrides
         # the train mapping to re-measure why band is NOT used in training
         # (the evidence behind mask_plan's train=True branch).
-        for mode in ("production", "band_margin_forced"):
+        for mode in ("production", "production_pallas",
+                     "band_margin_forced"):
             for th, tw, iter_size in ((768, 1024, 1), (512, 640, 2)):
                 ms = _train_step_ms(th, tw, iter_size, mode, args.iters)
                 # reference context: 4 GPUs x iter_size 2 x batch 1 = 8
@@ -143,10 +152,13 @@ def _train_step_ms(th, tw, iter_size, mode, iters):
     the `caffe time`-equivalent for training (VERDICT r1 weak #4).
 
     mode "production" times the step as the train loop builds it;
-    "band_margin_forced" monkeypatches detector.mask_plan so training
-    runs the inference-style band_margin path (margin buckets + zero-slab
-    updates) — the configuration mask_plan(train=True) deliberately
-    avoids; this probe is the reproducible evidence for that choice."""
+    "production_pallas" additionally enables TPU.PALLAS_STEM_TRAIN (the
+    fused stem forward+backward kernel — the measured evidence for that
+    flag); "band_margin_forced" monkeypatches detector.mask_plan so
+    training runs the inference-style band_margin path (margin buckets +
+    zero-slab updates) — the configuration mask_plan(train=True)
+    deliberately avoids; this probe is the reproducible evidence for that
+    choice."""
     import time
 
     import jax
@@ -157,8 +169,10 @@ def _train_step_ms(th, tw, iter_size, mode, iters):
     from smallhardface_tpu.train import train_loop, targets, solver
 
     saved_plan = dm.mask_plan
+    saved_pst = bool(cfg.TPU.PALLAS_STEM_TRAIN)
     if mode == "band_margin_forced":
         dm.mask_plan = lambda cfg_mode, train=False: ("band_margin", 32)
+    cfg.TPU.PALLAS_STEM_TRAIN = (mode == "production_pallas")
     try:
         spec = dm.build_spec(cfg)
         params = dm.init_params(jax.random.PRNGKey(3), spec)
@@ -200,6 +214,7 @@ def _train_step_ms(th, tw, iter_size, mode, iters):
         return float(np.median(walls))
     finally:
         dm.mask_plan = saved_plan
+        cfg.TPU.PALLAS_STEM_TRAIN = saved_pst
 
 
 if __name__ == "__main__":

@@ -113,7 +113,13 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
                       valid_hw[1] * detector_mod.FEAT_STRIDE),
             mask_mode=detector_mod.mask_plan(
                 str(cfg.TPU.MASK_MODE), train=True)[0],
-            s2d_stem=bool(cfg.TPU.S2D_STEM))
+            s2d_stem=bool(cfg.TPU.S2D_STEM),
+            # backend gate: the kernel only lowers on TPU; the flagship
+            # config ships the flag on, and CPU-mesh runs (tests,
+            # PDB mode) must silently take the XLA stem instead
+            pallas_stem=bool(cfg.TPU.PALLAS_STEM_TRAIN)
+            and jax.default_backend() == "tpu",
+            stem_vma=(DATA_AXIS,))
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
         bg_prob = lax.stop_gradient(
@@ -151,7 +157,15 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 return gsum, aux
 
-            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+            # varying-typed carry: XLA's transposed grads carry deferred
+            # psums (invariant-typed) but the Pallas stem VJP's outputs
+            # are honest per-device partials typed varying over the data
+            # axis; promoting the carry makes every leaf's scan type
+            # consistent either way (the psum below is the one reduction)
+            g0 = jax.tree_util.tree_map(
+                lambda p: lax.pcast(jnp.zeros_like(p), (DATA_AXIS,),
+                                    to="varying"),
+                params)
             gsum, auxes = lax.scan(
                 micro, g0, (data, scl, crp, gt, gt_mask, im_hw, valid_hw))
             gsum = lax.psum(gsum, DATA_AXIS)

@@ -162,6 +162,178 @@ def test_flagship_config_enables_and_keys_the_kernel():
     assert key_on != key_off, "PALLAS_STEM missing from the program key"
 
 
+def _msk(h, vh_, vw_):
+    ys = jax.lax.broadcasted_iota(jnp.int32, h.shape[1:3], 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, h.shape[1:3], 1)
+    m = ((ys < vh_) & (xs < vw_))[None, :, :, None]
+    return jnp.where(m, h, 0.0)
+
+
+def _losses(x, dy, vh, vw):
+    """(plain XLA loss fn, fused-kernel loss fn) over the where-masked
+    stem chain — the exact composition the training forward runs."""
+    def plain_loss(params):
+        w1_, b1_, w2_, b2_ = params
+        h = _msk(x, vh, vw)
+        h = _msk(jax.nn.relu(conv2d(h, w1_, b1_, padding=1)), vh, vw)
+        h = _msk(jax.nn.relu(conv2d(h, w2_, b2_, padding=1)), vh, vw)
+        p = _msk(max_pool_2x2(h), vh // 2, vw // 2)
+        return jnp.sum(p * dy)
+
+    def fused_loss(params):
+        w1_, b1_, w2_, b2_ = params
+        p = fused_stem(x, w1_, b1_, w2_, b2_, valid_hw=(vh, vw),
+                       interpret=INTERP)
+        return jnp.sum(_msk(p, vh // 2, vw // 2) * dy)
+
+    return plain_loss, fused_loss
+
+
+def test_grad_exact_arithmetic_parity():
+    """The fused backward kernel (custom VJP) vs jax.grad of the XLA
+    composition, with small-integer inputs so every bf16 product and f32
+    accumulation is EXACT: any nonzero difference is an indexing bug, not
+    rounding. Covers pool tie-routing too (integer ties are common)."""
+    rng = np.random.RandomState(7)
+    w1 = jnp.asarray(rng.randint(-3, 4, (3, 3, 3, 64)).astype(np.float32))
+    b1 = jnp.asarray(rng.randint(-3, 4, (64,)).astype(np.float32))
+    w2 = jnp.asarray(rng.randint(-2, 3, (3, 3, 64, 64)).astype(np.float32))
+    b2 = jnp.asarray(rng.randint(-3, 4, (64,)).astype(np.float32))
+    B, H, W, vh, vw = 2, 32, 128, 24, 96
+    x = rng.randint(-3, 4, (B, H, W, 3)).astype(np.float32)
+    x[:, vh:] = 7.0              # garbage bucket padding must not leak
+    x[:, :, vw:] = -3.0
+    dy = jnp.asarray(
+        rng.randint(-3, 4, (B, H // 2, W // 2, 64)).astype(np.float32))
+    plain_loss, fused_loss = _losses(jnp.asarray(x), dy, vh, vw)
+    gp = jax.grad(plain_loss)((w1, b1, w2, b2))
+    gf = jax.grad(fused_loss)((w1, b1, w2, b2))
+    for name, a, b in zip(["dw1", "db1", "dw2", "db2"], gf, gp):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_grad_float_tolerance(stem_weights):
+    """Float gradients agree to bf16-rounding scale. Off-TPU the XLA
+    reference runs true-fp32 convs while the kernel uses bf16 dots;
+    near-zero relu pre-acts can flip, re-routing O(dy·x) contributions —
+    the observed ceiling is ~10 % of the peak gradient magnitude
+    (on-chip both paths run bf16 MXU passes and agree much closer)."""
+    w1, b1, w2, b2 = stem_weights
+    rng = np.random.RandomState(0)
+    B, H, W, vh, vw = 2, 32, 128, 24, 96
+    x = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 10)
+    dy = jnp.asarray(
+        rng.randn(B, H // 2, W // 2, 64).astype(np.float32))
+    plain_loss, fused_loss = _losses(x, dy, vh, vw)
+    gp = jax.grad(plain_loss)((w1, b1, w2, b2))
+    gf = jax.grad(fused_loss)((w1, b1, w2, b2))
+    for name, a, b in zip(["dw1", "db1", "dw2", "db2"], gf, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        peak = np.abs(b).max()
+        assert np.abs(a - b).max() < 0.15 * peak, name
+
+
+def test_grad_under_shard_map():
+    """The training composition: per-device grads inside shard_map summed
+    with psum (like train_loop.make_device_grads). Off-TPU the pallas HLO
+    interpreter cannot propagate varying-manual-axis types through its
+    block extraction (JAX suggests check_vma=False as the workaround), so
+    the CPU test disables vma checking; the real-chip path runs with
+    check_vma=True + vma annotations (same scheme as ops/pallas_iou.py,
+    production-proven in the round-2 schedule run)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    rng = np.random.RandomState(9)
+    w1 = jnp.asarray(rng.randint(-2, 3, (3, 3, 3, 64)).astype(np.float32))
+    b1 = jnp.asarray(rng.randint(-2, 3, (64,)).astype(np.float32))
+    w2 = jnp.asarray(rng.randint(-2, 3, (3, 3, 64, 64)).astype(np.float32))
+    b2 = jnp.asarray(rng.randint(-2, 3, (64,)).astype(np.float32))
+    n_dev = 2
+    x = jnp.asarray(
+        rng.randint(-2, 3, (n_dev, 16, 128, 3)).astype(np.float32))
+    dy = jnp.asarray(
+        rng.randint(-2, 3, (n_dev, 8, 64, 64)).astype(np.float32))
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("d",))
+
+    def device_grads(params, xs, dys):
+        def loss(p):
+            out = fused_stem(xs, *p, interpret=INTERP,
+                             vma=None if INTERP else ("d",))
+            return jnp.sum(out * dys)
+        g = jax.grad(loss)(params)
+        return jax.tree_util.tree_map(
+            lambda t: jax.lax.psum(t, "d"), g)
+
+    sharded = shard_map(
+        device_grads, mesh=mesh,
+        in_specs=(P(), P("d"), P("d")), out_specs=P(),
+        check_vma=not INTERP)
+    got = jax.jit(sharded)((w1, b1, w2, b2), x, dy)
+
+    def ref_loss(p):
+        h = jax.nn.relu(conv2d(x, p[0], p[1], padding=1))
+        h = jax.nn.relu(conv2d(h, p[2], p[3], padding=1))
+        return jnp.sum(max_pool_2x2(h) * dy)
+
+    want = jax.grad(ref_loss)((w1, b1, w2, b2))
+    for name, a, b in zip(["dw1", "db1", "dw2", "db2"], got, want):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_forward_grad_wiring(stem_weights):
+    """jax.grad through detector.forward(pallas_stem=True) — the
+    TPU.PALLAS_STEM_TRAIN train path — produces grads for EVERY param
+    leaf matching the plain forward (stem leaves via the fused backward
+    kernel, the rest via XLA's usual VJP)."""
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(11), spec)
+    rng = np.random.RandomState(12)
+    vh, vw = 32, 112
+    x = np.zeros((1, 32, 128, 3), np.float32)
+    x[:, :vh, :vw] = rng.randn(1, vh, vw, 3).astype(np.float32) * 30
+    x = jnp.asarray(x)
+    gh, gw = vh // 8, vw // 8
+    cot = jnp.asarray(rng.randn(1, 4, 16, 3, 2).astype(np.float32))
+
+    def loss(p, use_kernel):
+        out = dm.forward(p, x, spec, valid_hw=(vh, vw),
+                         mask_mode="where", pallas_stem=use_kernel)
+        return jnp.sum(out["cls_logits"][:, :gh, :gw] *
+                       cot[:, :gh, :gw])
+
+    import smallhardface_tpu.ops.pallas_stem as ps
+    g_plain = jax.grad(loss)(params, False)
+    if INTERP:
+        orig = ps.fused_stem
+        ps.fused_stem = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        g_fused = jax.grad(loss)(params, True)
+    finally:
+        if INTERP:
+            ps.fused_stem = orig
+
+    flat_f = jax.tree_util.tree_leaves_with_path(g_fused)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(g_plain))
+    checked = 0
+    for path, leaf in flat_f:
+        want = np.asarray(flat_p[path])
+        got = np.asarray(leaf)
+        peak = np.abs(want).max()
+        if peak == 0.0:       # head leaves unused by this cotangent slice
+            continue
+        # Off-TPU the plain path runs true-fp32 convs while the kernel
+        # uses bf16 dots, so EVERY leaf's grad carries forward-pass noise
+        # (worst on near-cancelling bias sums). This test checks the
+        # wiring (differentiable, every leaf fed, right ballpark); exact
+        # indexing parity is test_grad_exact_arithmetic_parity's job.
+        assert np.abs(got - want).max() < 0.35 * peak, path
+        checked += 1
+    assert checked >= 10      # stem + backbone + heads all carry signal
+
+
 def test_bf16_precision_path_uses_kernel():
     """compute_dtype=bfloat16 also routes through the kernel (fp32 in/out
     with lossless upcast) — without this, bf16 mode would silently lose
