@@ -72,10 +72,18 @@ def main():
     mm_default = jax.jit(lambda a, b: a @ b)
     mm_highest = jax.jit(
         lambda a, b: jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST))
+    # int8: does XLA route integer dots to the MXU's 394 TOPS int8 path?
+    # (the v5e spec doubles the bf16 rate; answer decides whether a
+    # quantized serving mode is worth building)
+    a8 = (a32 * 10).astype(jnp.int8)
+    b8 = (b32 * 10).astype(jnp.int8)
+    mm_int8 = jax.jit(lambda a, b: jax.lax.dot(
+        a, b, preferred_element_type=jnp.int32))
     for label, fn, fa, fb in (
             ("fp32 default", mm_default, a32, b32),
             ("bf16", mm_default, a16, b16),
-            ("fp32 HIGHEST", mm_highest, a32, b32)):
+            ("fp32 HIGHEST", mm_highest, a32, b32),
+            ("int8->int32", mm_int8, a8, b8)):
         t = wall(fn, (fa, fb), args.reps) - rtt
         print(f"matmul {n}^3 {label:14s}: {t*1e3:7.1f} ms  "
               f"{flops/t/1e12:6.1f} TF/s")

@@ -308,8 +308,11 @@ class TPUDetector:
         b = len(ims)
         h16 = _round_up(im_h, cfg.MAX_RESOLUTION)
         w16 = _round_up(im_w, cfg.MAX_RESOLUTION)
-        bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
-        margin = _mask_plan()[1]
+        mask_mode, margin = _mask_plan()
+        # "exact" compiles per ×16 shape (TEST_BUCKET ignored): the
+        # bucket IS the valid extent and the forward runs unmasked
+        bucket = (cfg.MAX_RESOLUTION if mask_mode == "exact"
+                  else max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION))
         hb = _round_up(h16 + margin, bucket)
         wb = _round_up(w16 + margin, bucket)
         x = np.zeros((b, hb, wb, 3), dtype=np.float32)
@@ -350,12 +353,17 @@ class TPUDetector:
                 float(s) / cfg.TEST.PYRAMID_BASE_SIZE[0] * base_scale
                 for s in scales
             ]
-        bucket = max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION)
+        mask_mode, margin = _mask_plan()
+        # "exact" compiles one program per distinct ×16 pyramid geometry
+        # (TEST_BUCKET ignored): buckets == valid extents, the forward
+        # runs unmasked, and the LRU bounds the program count — intended
+        # for fixed-resolution (serving) workloads where shapes repeat
+        bucket = (cfg.MAX_RESOLUTION if mask_mode == "exact"
+                  else max(int(cfg.TPU.TEST_BUCKET), cfg.MAX_RESOLUTION))
         H0b = _round_up(h0, bucket)
         W0b = _round_up(w0, bucket)
         padded = np.pad(im, ((0, H0b - h0), (0, W0b - w0), (0, 0)),
                         mode="edge")
-        mask_mode, margin = _mask_plan()
         hs_l, ws_l, vh_l, vw_l, buckets = [], [], [], [], []
         for scale in pyramid_scales:
             h_s = int(round(h0 * scale))

@@ -254,9 +254,22 @@ def mask_plan(cfg_mode: str, train: bool = False):
         if train:
             return "where", 0
         return "band_margin", BAND_MARGIN_PX
+    if cfg_mode == "exact":
+        # exact-shape inference programs: detect.* compiles one program
+        # per distinct ×16 pyramid geometry (no bucket padding at all),
+        # so there is no padded region and every mask/band is a no-op —
+        # the forward runs fully unmasked (14.2 vs 18.0 ms at 1408×1920,
+        # PERF_NOTES round 3). Worth it only when image shapes repeat
+        # (fixed-resolution serving); diverse shapes recompile per shape
+        # (LRU-bounded). TRAINING keeps "where": train buckets are shared
+        # across variable valid extents by design.
+        if train:
+            return "where", 0
+        return "exact", 0
     if cfg_mode != "where":
         raise ValueError(
-            f"TPU.MASK_MODE must be 'band' or 'where', got {cfg_mode!r}")
+            "TPU.MASK_MODE must be 'band', 'where' or 'exact', "
+            f"got {cfg_mode!r}")
     return cfg_mode, 0
 
 
@@ -337,6 +350,9 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         remaining dynamic-update-slice copies).
       "where": round-1 behavior — re-zero the whole padded region after
         every stage (kept as the belt-and-braces fallback; TPU.MASK_MODE).
+      "exact": the caller guarantees x has NO bucket padding (its extent
+        is the ×16 valid extent) — valid_hw is ignored and the forward
+        runs fully unmasked; see mask_plan.
     Either way outputs beyond valid_hw//8 must be treated as garbage;
     consumers (ops.decode, train.targets) already mask by valid extent.
 
@@ -367,6 +383,13 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
     cd = compute_dtype
     if cd is not None:
         x = x.astype(cd)
+
+    if mask_mode == "exact":
+        # exact-shape contract (mask_plan): the tensor extent IS the ×16
+        # valid extent — no bucket padding exists, so masks and bands are
+        # numeric no-ops; drop them statically (the Pallas stem then runs
+        # with full-extent valid too)
+        valid_hw = None
 
     stride = [1]
     _mask_cache = {}

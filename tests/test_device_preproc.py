@@ -88,3 +88,39 @@ def test_device_vs_host_detections(small_cfg):
         assert matched.mean() >= 0.97, (
             f"{(~matched).sum()}/{matched.size} host detections have no "
             "device counterpart")
+
+
+def test_exact_mode_matches_where(small_cfg):
+    """TPU.MASK_MODE="exact" (shape-exact programs, forward fully
+    unmasked) must produce the same detections as "where" (bucketed +
+    re-zeroed padding): inside-valid values are identical by the masking
+    contract, and nothing downstream reads beyond valid. Same device
+    pipeline on both sides, so the comparison is strict."""
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(2), spec)
+    rng = np.random.RandomState(3)
+    im = rng.randint(0, 255, (90, 130, 3), dtype=np.uint8)
+
+    old_mode = cfg.TPU.MASK_MODE
+    try:
+        cfg.TPU.MASK_MODE = "where"
+        where_dets = TPUDetector(params, spec).detect(im, thresh=0.05)[0][0]
+
+        cfg.TPU.MASK_MODE = "exact"
+        det = TPUDetector(params, spec)
+        exact_dets = det.detect(im, thresh=0.05)[0][0]
+        # exact mode keys per-shape programs: buckets == valid extents,
+        # no margin, mask_mode in the key
+        p = det._prep(im)
+        assert p["key"][5] == "exact"
+        for (hb, wb), vh, vw in zip(p["key"][2], p["vh"], p["vw"]):
+            assert hb == vh * dm.FEAT_STRIDE and wb == vw * dm.FEAT_STRIDE
+    finally:
+        cfg.TPU.MASK_MODE = old_mode
+
+    assert where_dets.shape == exact_dets.shape
+    if where_dets.shape[0]:
+        order_w = np.lexsort(where_dets.T)
+        order_e = np.lexsort(exact_dets.T)
+        np.testing.assert_allclose(
+            where_dets[order_w], exact_dets[order_e], rtol=1e-4, atol=2e-3)

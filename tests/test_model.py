@@ -48,6 +48,10 @@ def test_mask_plan_contract():
     assert detector.mask_plan("band_margin") == ("band_margin", 32)
     assert detector.mask_plan("band", train=True) == ("where", 0)
     assert detector.mask_plan("where") == ("where", 0)
+    # "exact": shape-exact inference programs, no margin, unmasked
+    # forward; training still buckets, so it keeps "where"
+    assert detector.mask_plan("exact") == ("exact", 0)
+    assert detector.mask_plan("exact", train=True) == ("where", 0)
     with pytest.raises(ValueError):
         detector.mask_plan("bogus")
 
