@@ -46,7 +46,9 @@ REFERENCE_IMG_PER_SEC_PER_GPU = 0.1875
 # Both config precisions therefore execute against the same 197 TF/s MXU
 # peak; the old 49.2e12 "fp32-effective" denominator overstated MFU ~4x
 # (VERDICT r2 weak #1, resolved).
-PEAK_FLOPS = {"bfloat16": 197e12, "float32": 197e12}
+PEAK_FLOPS = {"bfloat16": 197e12, "float32": 197e12,
+              # int8 MXU path measured 379.8 TOPS at 16384^3 (394 spec)
+              "int8": 394e12}
 
 
 def _images():

@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--model", required=True)
     ap.add_argument("--data", default="")
     ap.add_argument("--n-images", type=int, default=40)
+    ap.add_argument("--ab", nargs="*", default=None,
+                    help="A/B mode: compare the default device path "
+                    "against the device path with these extra KEY VALUE "
+                    "amends (e.g. --ab TPU.PRECISION int8 TPU.MASK_MODE "
+                    "exact) instead of against the host-preproc path")
     args = ap.parse_args()
 
     data = args.data
@@ -62,6 +67,15 @@ def main():
         print(f"# built synthetic WIDER at {data}")
 
     tar_dev, ap_dev = run_eval(args.model, data, "paritychk_dev", [])
+    if args.ab is not None:
+        tar_b, ap_b = run_eval(args.model, data, "paritychk_ab",
+                               list(args.ab))
+        print(f"device path AP:          {ap_dev}")
+        print(f"device path AP (amended): {ap_b}  [{' '.join(args.ab)}]")
+        subprocess.run([sys.executable, "-m",
+                        "smallhardface_tpu.tools.compare_dets",
+                        tar_dev, tar_b], cwd=REPO, check=True)
+        return
     tar_host, ap_host = run_eval(args.model, data, "paritychk_host",
                                  ["TPU.HOST_PREPROC", "True"])
     print(f"device path AP: {ap_dev}")

@@ -58,6 +58,21 @@ def _mask_plan():
     return detector_mod.mask_plan(str(cfg.TPU.MASK_MODE))
 
 
+def _pyramid_scales(im_shape):
+    """Per-level resize factors for one image under the configured
+    TEST.SCALES (single-scale: short-side rule; multi-scale: levels scale
+    relative to the PYRAMID_BASE_SIZE fit — lib/test.py:130-137)."""
+    scales = list(cfg.TEST.SCALES)
+    if len(scales) == 1:
+        return [compute_scaling_factor(im_shape, scales[0],
+                                       cfg.TEST.MAX_SIZE)]
+    base_scale = compute_scaling_factor(
+        im_shape, cfg.TEST.PYRAMID_BASE_SIZE[0],
+        cfg.TEST.PYRAMID_BASE_SIZE[1])
+    return [float(s) / cfg.TEST.PYRAMID_BASE_SIZE[0] * base_scale
+            for s in scales]
+
+
 class TPUDetector:
     """Holds params + a cache of jitted (bucketed-shape) programs.
 
@@ -103,13 +118,24 @@ class TPUDetector:
         self._compiled_dev = OrderedDict()
         self._max_programs = 64
         precision = cfg.TPU.PRECISION
-        self.compute_dtype = (jnp.bfloat16 if precision == "bfloat16"
-                              else None)
+        self.compute_dtype = {"bfloat16": jnp.bfloat16,
+                              "int8": "int8"}.get(str(precision))
+        if (self.compute_dtype == "int8"
+                and _mask_plan()[0] not in ("where", "exact")):
+            # fail at construction, not trace time (the forward would
+            # raise the same contract mid-jit — see models/detector.py)
+            raise ValueError(
+                "TPU.PRECISION='int8' requires TPU.MASK_MODE 'exact' or "
+                "'where' (dynamic activation scales are global reduces; "
+                f"'{cfg.TPU.MASK_MODE}' buckets carry garbage padding)")
         self.host_preproc = bool(cfg.TPU.HOST_PREPROC)
         # device-side final NMS/vote: only final detections cross D2H
         self.device_vote = (bool(cfg.TPU.DEVICE_VOTE)
                             and not self.host_preproc)
         self.vote_cap = int(cfg.TPU.VOTE_CAP)
+        # static int8 quantization state (calibrate_int8); None = dynamic
+        # per-tensor scales (slower — the max-reduce serializes)
+        self.qstate = None
 
     def _decode_batch(self, out, im_h, im_w, valid_h, valid_w, min_size,
                       score_thresh):
@@ -139,7 +165,7 @@ class TPUDetector:
         merged_cap = int(cfg.TPU.MERGED_DET_CAP)
         vote_cap = self.vote_cap
 
-        def run(params, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
+        def run(params, qstate, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
                 score_thresh, final_thresh, nms_thresh):
             # per-level traced scalars arrive as stacked (L,) arrays
             img = raw_u8.astype(jnp.float32)
@@ -172,7 +198,8 @@ class TPUDetector:
                     # partitioned by the SPMD partitioner — the sharded
                     # H axis must take the plain XLA stem
                     pallas_stem=bool(cfg.TPU.PALLAS_STEM)
-                    and self.spatial_mesh is None)
+                    and self.spatial_mesh is None,
+                    qstate=qstate)
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
@@ -260,6 +287,7 @@ class TPUDetector:
                 run,
                 in_shardings=(
                     NamedSharding(mesh, P()),                 # params
+                    NamedSharding(mesh, P()),                 # qstate
                     NamedSharding(mesh, P(SPATIAL_AXIS)),     # raw image H
                 ) + (NamedSharding(mesh, P()),) * 8,
                 out_shardings=NamedSharding(mesh, P()))
@@ -274,7 +302,8 @@ class TPUDetector:
         masking strategy and stem form in, and band_margin is only safe
         with margin buckets."""
         shape = shape + (_mask_plan()[0], bool(cfg.TPU.S2D_STEM),
-                         bool(cfg.TPU.PALLAS_STEM))
+                         bool(cfg.TPU.PALLAS_STEM),
+                         self.qstate is not None)
         if shape in self._compiled:
             self._compiled.move_to_end(shape)
             return self._compiled[shape]
@@ -283,7 +312,7 @@ class TPUDetector:
         spec = self.spec
         cd = self.compute_dtype
 
-        def run(params, x, im_h, im_w, valid_h, valid_w, min_size,
+        def run(params, qstate, x, im_h, im_w, valid_h, valid_w, min_size,
                 score_thresh):
             out = detector_mod.forward(
                 params, x, spec, compute_dtype=cd,
@@ -292,7 +321,8 @@ class TPUDetector:
                 mask_mode=_mask_plan()[0],
                 s2d_stem=bool(cfg.TPU.S2D_STEM),
                 pallas_stem=bool(cfg.TPU.PALLAS_STEM)
-                and self.spatial_mesh is None)
+                and self.spatial_mesh is None,
+                qstate=qstate)
             return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
                                       min_size, score_thresh)
 
@@ -323,7 +353,7 @@ class TPUDetector:
         if self.device is not None:
             xd = jax.device_put(xd, self.device)
         boxes, scores, counts = fn(
-            self.params, xd,
+            self.params, self.qstate, xd,
             jnp.float32(im_h), jnp.float32(im_w),
             jnp.int32(h16 // detector_mod.FEAT_STRIDE),
             jnp.int32(w16 // detector_mod.FEAT_STRIDE),
@@ -333,26 +363,56 @@ class TPUDetector:
         return (np.asarray(boxes), np.asarray(scores),
                 np.asarray(counts))
 
+    def calibrate_int8(self, images):
+        """Calibrate static int8 activation scales (TPU.PRECISION='int8').
+
+        images: iterable of BGR uint8 arrays or paths. Each is resized to
+        every TEST scale (host cv2 — the convention the device resize
+        mimics), mean-subtracted, padded to ×16, and run through an fp32
+        amax-collection forward; the per-layer maxima + prebaked int8
+        weights become self.qstate (models/detector.make_qstate), which
+        replaces the dynamic per-tensor max-reduces with fused
+        elementwise quantizes. Compiled program caches are cleared (the
+        programs bake the qstate structure in). Returns the amax dict.
+
+        One-time cost per calibration set; values outside the calibrated
+        ranges saturate (symmetric clip) — use representative images.
+        """
+        if self.compute_dtype != "int8":
+            raise ValueError(
+                "calibrate_int8 requires TPU.PRECISION='int8'")
+        mean = np.asarray(cfg.PIXEL_MEANS, np.float32).reshape(1, 1, 3)
+        xs = []
+        for im in images:
+            if isinstance(im, str):
+                im = cv2.imread(im)
+            for scale in _pyramid_scales(im.shape):
+                r = cv2.resize(im.astype(np.float32), None,
+                               fx=scale, fy=scale,
+                               interpolation=cv2.INTER_LINEAR) - mean
+                h, w = r.shape[:2]
+                hb = _round_up(h, cfg.MAX_RESOLUTION)
+                wb = _round_up(w, cfg.MAX_RESOLUTION)
+                x = np.zeros((1, hb, wb, 3), np.float32)
+                x[0, :h, :w] = r
+                xs.append(x)
+        amax = detector_mod.collect_int8_amax(self.params, self.spec, xs)
+        self.qstate = detector_mod.make_qstate(self.params, self.spec,
+                                               amax)
+        self._compiled.clear()
+        self._compiled_dev.clear()
+        logger.info("int8 calibration over %d pyramid inputs: %s",
+                    len(xs),
+                    {k: round(v, 1) for k, v in sorted(amax.items())})
+        return amax
+
     def _prep(self, im):
         """Pad the raw image and compute the per-level scale metadata and
         program cache key — shared by detect_async and detect_many."""
         if isinstance(im, str):
             im = cv2.imread(im)
         h0, w0 = im.shape[:2]
-        scales = list(cfg.TEST.SCALES)
-        if len(scales) == 1:
-            pyramid_scales = [
-                compute_scaling_factor(im.shape, scales[0],
-                                       cfg.TEST.MAX_SIZE)
-            ]
-        else:
-            base_scale = compute_scaling_factor(
-                im.shape, cfg.TEST.PYRAMID_BASE_SIZE[0],
-                cfg.TEST.PYRAMID_BASE_SIZE[1])
-            pyramid_scales = [
-                float(s) / cfg.TEST.PYRAMID_BASE_SIZE[0] * base_scale
-                for s in scales
-            ]
+        pyramid_scales = _pyramid_scales(im.shape)
         mask_mode, margin = _mask_plan()
         # "exact" compiles one program per distinct ×16 pyramid geometry
         # (TEST_BUCKET ignored): buckets == valid extents, the forward
@@ -381,7 +441,7 @@ class TPUDetector:
         vote_method = str(cfg.TEST.NMS_METHOD) if self.device_vote else None
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP),
                vote_method, mask_mode, bool(cfg.TPU.S2D_STEM),
-               bool(cfg.TPU.PALLAS_STEM))
+               bool(cfg.TPU.PALLAS_STEM), self.qstate is not None)
         return {
             "padded": padded,
             "key": key,
@@ -416,7 +476,7 @@ class TPUDetector:
 
         fn = self._pyramid_program(p["key"])
         packed, n = fn(
-            self.params, raw,
+            self.params, self.qstate, raw,
             jnp.asarray(p["inv_fx"]),
             jnp.asarray(p["h_s"]), jnp.asarray(p["w_s"]),
             jnp.asarray(p["vh"]), jnp.asarray(p["vw"]),
@@ -439,7 +499,7 @@ class TPUDetector:
         level_buckets, flip, vote_method = key[2], key[3], key[4]
         run = self._build_run(level_buckets, flip, vote_method)
         fn = jax.jit(jax.vmap(
-            run, in_axes=(None, 0, 0, 0, 0, 0, 0, None, None, None)))
+            run, in_axes=(None, None, 0, 0, 0, 0, 0, 0, None, None, None)))
         self._compiled_dev[bkey] = fn
         return fn
 
@@ -506,7 +566,7 @@ class TPUDetector:
             if self.device is not None:
                 raw = jax.device_put(raw, self.device)
             packed, n = fn(
-                self.params, raw, stack("inv_fx"),
+                self.params, self.qstate, raw, stack("inv_fx"),
                 stack("h_s"), stack("w_s"), stack("vh"), stack("vw"),
                 st, jnp.float32(thresh), jnp.float32(cfg.TEST.NMS_THRESH))
             ns = np.asarray(n)

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from smallhardface_tpu.models.layers import (
-    conv2d, conv_s2d_3x3, max_pool_2x2, bilinear_kernel,
-    upsample2x_bilinear)
+    conv2d, conv2d_int8, conv2d_int8_chain, conv_s2d_3x3, max_pool_2x2,
+    bilinear_kernel, upsample2x_bilinear)
 
 # (name, out_channels, n_convs) per VGG stage; conv1/conv2 are frozen
 # (lr_mult 0 in the templates, models/test_template.prototxt:22-29).
@@ -312,13 +312,27 @@ def _zero_band(h, v, width, axis, margin_ok=False):
 
 def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
             mask_mode="band", s2d_stem=False, pallas_stem=False,
-            stem_vma=None):
+            stem_vma=None, qstate=None, int8_amax=None):
     """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
     of 16. Returns dict with:
       cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
       bbox_deltas: (B, h, w, A, 4)
     Anchor order along A matches ANCHOR_SCALES = (1, 2, 4), i.e. the row
     order of ops.anchors.generate_anchors(scales=[1,2,4]).
+
+    compute_dtype: None (fp32), jnp.bfloat16, or the string "int8" —
+    the quantized serving mode (layers.conv2d_int8; inference-only,
+    requires mask_mode "exact"/"where", enforced below).
+
+    qstate: optional static-quantization state from make_qstate()
+    (calibrated per-layer activation amax + prebaked int8 weights) —
+    only read in int8 mode; without it the activation scales are
+    dynamic per-tensor max-reduces (correct but slower, PERF_NOTES).
+
+    int8_amax: calibration hook — pass an empty dict and the fp32
+    forward records the max|input| scalar of every int8-eligible conv
+    into it (keys = layer names + "head"); reduce over calibration
+    images with collect_int8_amax()/jnp.maximum, then make_qstate().
 
     valid_hw: optional (vh, vw) scalars — the ×16-padded image extent in
     input pixels when x carries extra bucket padding beyond it. The
@@ -381,6 +395,27 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
     forward runs inside shard_map (training DP).
     """
     cd = compute_dtype
+    int8_mode = (cd == "int8")
+    if int8_mode:
+        # Quantized serving mode (TPU.PRECISION="int8"): the hot 3×3
+        # convs (stages 2–5 + fusion + the shared dilated heads) run as
+        # int8 MXU passes (layers.conv2d_int8 — the v5e MXU runs int8 at
+        # 2× the bf16 rate). The stem keeps the fp32 Pallas kernel; 1×1
+        # laterals and the score/bbox heads stay fp32 (cheap,
+        # precision-sensitive). With a calibrated qstate the quantizes
+        # are fused elementwise; without one the dynamic per-tensor
+        # activation scale is a global max-reduce, so the bucket-padding
+        # garbage "band" modes leave beyond the valid extent would
+        # couple into inside-valid values — refuse band either way (the
+        # static path also saturates against calibrated ranges that the
+        # garbage would not respect).
+        if mask_mode in ("band", "band_margin") and valid_hw is not None:
+            raise ValueError(
+                "int8 precision requires TPU.MASK_MODE 'exact' or "
+                "'where': band masking leaves garbage beyond the valid "
+                "extent and the dynamic activation scales are global "
+                "reduces over it")
+        cd = None                        # fp32 activation carrier
     if cd is not None:
         x = x.astype(cd)
 
@@ -417,6 +452,53 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         h = _zero_band(h, valid_hw[0] // s, reach, 1, margin_ok=margin_ok)
         return _zero_band(h, valid_hw[1] // s, reach, 2, margin_ok=margin_ok)
 
+    # calibrated static mode: activations stay int8 BETWEEN convs (the
+    # requantize onto the successor's grid fuses into each conv epilogue;
+    # fp32 carriers were measured to forfeit the MXU win — PERF_NOTES).
+    # _qsucc[name] = the conv whose calibrated input grid `name`'s output
+    # is quantized onto; absent = the chain ends there (fp32 out).
+    if int8_mode and qstate is not None:
+        _qchain = [f"{stage}_{i}" for stage, _, n in VGG_STAGES
+                   if stage != "conv1" for i in range(1, n + 1)]
+        _qsucc = dict(zip(_qchain, _qchain[1:]))
+        _qsucc["conv4_fuse_final"] = ("conv4_fuse_final_dim_red"
+                                      if spec.different_dilation
+                                      else "head")
+        _qsucc["conv4_fuse_final_dim_red"] = "head"
+    else:
+        _qsucc = {}
+
+    def _q_in(h, name):
+        """int8 carrier on `name`'s calibrated input grid (pass-through
+        if the chain already left it there; saturating clip if the fp32
+        value exceeds the calibrated range)."""
+        if h.dtype == jnp.int8:
+            return h
+        s = qstate["scales"][name] / 127.0
+        return jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8)
+
+    def _q_conv(h, name, dilation, pad):
+        """One quantized conv: chained static link when calibrated,
+        dynamically-scaled fp32-carrier conv otherwise. Returns fp32
+        post-ReLU unless a successor grid requantizes it."""
+        if qstate is None:
+            return jax.nn.relu(conv2d_int8(
+                h, params[name]["w"], params[name]["b"],
+                dilation=dilation, padding=pad))
+        nxt = _qsucc.get(name)
+        return conv2d_int8_chain(
+            _q_in(h, name), qstate["qw"][name],
+            qstate["scales"][name] / 127.0, qstate["s_w"][name],
+            params[name]["b"], dilation=dilation, padding=pad,
+            s_out=(None if nxt is None
+                   else qstate["scales"][nxt] / 127.0))
+
+    def _record_amax(name, h):
+        """Calibration hook: fold max|h| into int8_amax[name]."""
+        a = jnp.max(jnp.abs(h))
+        int8_amax[name] = (jnp.maximum(int8_amax[name], a)
+                           if name in int8_amax else a)
+
     def cbr(h, name, dilation=1):
         """Conv+bias+ReLU with the [valid, valid+dilation) input band
         cleaned first. The band is needed before EVERY spatial conv — the
@@ -429,8 +511,13 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         # named_scope → per-layer attribution in compiled-HLO metadata
         # (tools/layer_time.py, the `caffe time` analog); no numeric effect
         with jax.named_scope(name):
+            hb = band(h, dilation)
+            if int8_mode and not name.startswith("conv1"):
+                return mask(_q_conv(hb, name, dilation, pad))
+            if int8_amax is not None and not name.startswith("conv1"):
+                _record_amax(name, hb)
             return mask(jax.nn.relu(conv2d(
-                band(h, dilation), params[name]["w"], params[name]["b"],
+                hb, params[name]["w"], params[name]["b"],
                 dilation=dilation, padding=pad, compute_dtype=cd)))
 
     h = mask(x)
@@ -483,6 +570,10 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         up = upsample2x_bilinear(band(f5, 1), params["conv5_256_up"]["w"])
     stride[0] //= 2                       # back to the stride-8 grid
     f4 = feats["conv4"]
+    if f4.dtype == jnp.int8:
+        # chained int8 carrier left conv4_3's output on conv5_1's input
+        # grid; the fp32 1×1 lateral reads the dequantized value
+        f4 = f4.astype(jnp.float32) * (qstate["scales"]["conv5_1"] / 127.0)
     with jax.named_scope("conv4_256"):
         lat4 = jax.nn.relu(conv2d(
             f4, params["conv4_256"]["w"], params["conv4_256"]["b"],
@@ -495,12 +586,17 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
     if spec.different_dilation:
         ff = cbr(ff, "conv4_fuse_final_dim_red")
         ff = band(ff, max(HEAD_DILATIONS))  # one clean band serves all heads
+        if int8_amax is not None:
+            _record_amax("head", ff)
         cls_list, box_list = [], []
         for k, d in zip(ANCHOR_SCALES, HEAD_DILATIONS):
             with jax.named_scope(f"head_{k}"):
-                hd = jax.nn.relu(conv2d(
-                    ff, params["head"]["w"], params["head"]["b"],
-                    dilation=d, padding=d, compute_dtype=cd))
+                if int8_mode:
+                    hd = _q_conv(ff, "head", d, d)
+                else:
+                    hd = jax.nn.relu(conv2d(
+                        ff, params["head"]["w"], params["head"]["b"],
+                        dilation=d, padding=d, compute_dtype=cd))
                 cls_list.append(conv2d(
                     hd, params[f"cls_score_{k}"]["w"],
                     params[f"cls_score_{k}"]["b"], padding=0,
@@ -527,3 +623,56 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
 
     return {"cls_logits": cls_logits.astype(jnp.float32),
             "bbox_deltas": bbox_deltas.astype(jnp.float32)}
+
+
+def int8_layer_names(spec: ModelSpec):
+    """The convs that run as int8 MXU passes under TPU.PRECISION='int8':
+    stages 2-5, the fusion conv(s), and the shared dilated head. The stem
+    (fp32 Pallas kernel), 1×1 laterals and score/bbox heads stay fp32."""
+    names = [f"{stage}_{i}" for stage, _, n in VGG_STAGES
+             if stage != "conv1" for i in range(1, n + 1)]
+    names.append("conv4_fuse_final")
+    if spec.different_dilation:
+        names.append("conv4_fuse_final_dim_red")
+    names.append("head")
+    return names
+
+
+def make_qstate(params, spec: ModelSpec, amax):
+    """Static int8 quantization state from a calibration amax dict (see
+    forward(int8_amax=...) / collect_int8_amax): per-layer calibrated
+    activation max + per-output-channel int8 weights baked once. Passing
+    the result as forward(qstate=...) replaces the dynamic per-tensor
+    max-reduces with fused elementwise quantizes and 4×-smaller weight
+    reads (the measured difference is the whole int8 win — PERF_NOTES)."""
+    from smallhardface_tpu.models.layers import quantize_weights_int8
+    scales, qw, s_w = {}, {}, {}
+    for n in int8_layer_names(spec):
+        scales[n] = jnp.float32(amax[n])
+        qw[n], s_w[n] = quantize_weights_int8(params[n]["w"])
+    return {"scales": scales, "qw": qw, "s_w": s_w}
+
+
+def collect_int8_amax(params, spec: ModelSpec, xs, mask_mode="where",
+                      pallas_stem=False):
+    """Calibrate activation ranges: run fp32 forwards over xs (iterable of
+    (1,H,W,3) mean-subtracted arrays, H/W multiples of 16) and return the
+    per-layer max|input| dict for make_qstate. One small stacked readback
+    per image (tunnel-friendly)."""
+    import numpy as np
+
+    keys = sorted(int8_layer_names(spec))
+
+    def one(x):
+        amax = {}
+        forward(params, x, spec, mask_mode=mask_mode,
+                pallas_stem=pallas_stem, int8_amax=amax)
+        return jnp.stack([amax[k] for k in keys])
+
+    fn = jax.jit(one)
+    total = {}
+    for x in xs:
+        vals = np.asarray(fn(jnp.asarray(x)))
+        for k, v in zip(keys, vals):
+            total[k] = max(total.get(k, 0.0), float(v))
+    return total

@@ -49,6 +49,113 @@ def conv2d(x, w, b=None, *, stride=1, dilation=1, padding="SAME",
     return out
 
 
+def quantize_weights_int8(w):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    Returns (qw int8 HWIO, s_w fp32 (O,)) with w ≈ qw * s_w. Done once
+    (detector init / qstate build) so serving convs read 4× less weight
+    HBM and skip the per-call requantize pass."""
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    qw = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    return qw, s_w
+
+
+def conv2d_int8(x, w, b=None, *, stride=1, dilation=1, padding="SAME",
+                s_x=None, qw=None, s_w=None):
+    """Quantized int8 conv: fp32 in, fp32 out, int8 MXU pass.
+
+    The v5e MXU runs int8×int8→int32 at double the bf16 rate (measured
+    379.8 TOPS at 16384³ vs the 394 spec peak, scripts/stem_probe.py).
+
+    Two activation-scale modes:
+      - s_x=None (dynamic): per-tensor symmetric scale max|x|/127
+        computed on device — no calibration data needed, but the global
+        max-reduce is an extra serializing pass over every activation
+        tensor, which eats most of the MXU win end-to-end (measured ~8%
+        whole-forward, PERF_NOTES round 3).
+      - s_x given (static, from calibration — see
+        models/detector.collect_int8_amax / make_qstate): the quantize
+        is pure elementwise and fuses; values beyond ±127·s_x saturate
+        (symmetric clip), the standard post-training-quantization
+        contract.
+    Weights: pass (qw, s_w) prebaked via quantize_weights_int8, or leave
+    None to quantize w on the fly (per-output-channel symmetric either
+    way). int32 accumulation, fp32 dequant + bias.
+
+    Exact zeros stay exact zeros (round(0)=0), so the valid-extent
+    masking discipline is preserved — but a DYNAMIC scale is a global
+    reduce over the tensor, so bucket-padding garbage beyond the valid
+    extent would couple into inside-valid values: callers must run
+    mask_mode "exact" or "where" (models/detector.forward enforces it).
+
+    Inference-only: rounding has no useful gradient (no VJP defined).
+    """
+    if isinstance(padding, str):
+        pads = padding
+    else:
+        p = int(padding)
+        pads = ((p, p), (p, p))
+    if s_x is None:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+    if qw is None:
+        qw, s_w = quantize_weights_int8(w)
+    acc = lax.conv_general_dilated(
+        q, qw,
+        window_strides=(stride, stride),
+        padding=pads,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (s_x * s_w)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv2d_int8_chain(q, qw, s_in, s_w, b, *, stride=1, dilation=1,
+                      padding="SAME", s_out=None):
+    """One link of a fully-quantized conv chain: int8 in, int8 (or fp32)
+    out.
+
+    q is an int8 activation carrier on the grid value = q·s_in; qw/s_w
+    are prebaked per-output-channel weights (quantize_weights_int8). The
+    conv accumulates in int32; the epilogue dequantizes, adds bias,
+    applies ReLU, and — when s_out is given — REquantizes onto the
+    successor layer's calibrated grid, all as one fused elementwise
+    chain writing int8. Keeping the carrier int8 across a chain is
+    measured 1.4–1.5× faster than bf16 carriers at production shapes
+    (PERF_NOTES round 3: the layer-wise fp32-carrier int8 mode loses
+    the MXU win to quantize/dequantize HBM passes; this chain is how
+    TPU.PRECISION='int8' + calibration actually pays).
+
+    Exact zeros stay exact zeros through round(relu(·)/s) — the
+    valid-extent masking discipline holds on the int8 carrier.
+    Inference-only (no VJP).
+    """
+    if isinstance(padding, str):
+        pads = padding
+    else:
+        p = int(padding)
+        pads = ((p, p), (p, p))
+    acc = lax.conv_general_dilated(
+        q, qw,
+        window_strides=(stride, stride),
+        padding=pads,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    t = acc.astype(jnp.float32) * (s_in * s_w)
+    if b is not None:
+        t = t + b.astype(t.dtype)
+    t = jax.nn.relu(t)
+    if s_out is None:
+        return t
+    return jnp.clip(jnp.round(t / s_out), -127, 127).astype(jnp.int8)
+
+
 def max_pool_2x2(x):
     """2×2/2 max pool with Caffe's ceil-mode output size.
 
@@ -59,8 +166,13 @@ def max_pool_2x2(x):
     pad_h = h % 2
     pad_w = w % 2
     pads = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+    # identity for max: -inf for floats, dtype min for int8 carriers
+    # (the chained quantized mode pools int8 activations directly —
+    # max commutes with the positive per-tensor scale)
+    init = (x.dtype.type(jnp.iinfo(x.dtype).min)
+            if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
     return lax.reduce_window(
-        x, -jnp.inf, lax.max,
+        x, init, lax.max,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),
         padding=pads)

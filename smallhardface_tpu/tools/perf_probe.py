@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--train-only", action="store_true",
                     help="skip the forward/batching probes (train-step "
                          "timing only)")
+    ap.add_argument("--only", default=None,
+                    help="run only forward probes whose label contains "
+                         "this substring (and skip the batching probe)")
     args = ap.parse_args()
     if args.train_only:
         args.train = True
@@ -91,17 +94,35 @@ def main():
             ("fwd_fp32_unmasked_pallas", None, None, True),
             ("fwd_bf16_where", jnp.bfloat16, "where", False),
             ("fwd_bf16_band_margin", jnp.bfloat16, "band_margin", False),
-            ("fwd_bf16_unmasked", jnp.bfloat16, None, False))
+            ("fwd_bf16_unmasked", jnp.bfloat16, None, False),
+            # quantized serving mode (int8 MXU passes; requires
+            # where/exact masking — band would couple padding garbage
+            # into the dynamic activation scales). "static" = calibrated
+            # qstate (fused elementwise quantizes + prebaked int8
+            # weights); plain = dynamic per-tensor max-reduce scales.
+            ("fwd_int8_where", "int8", "where", True),
+            ("fwd_int8_unmasked", "int8", None, True),
+            ("fwd_int8_static_where", "int8:static", "where", True),
+            ("fwd_int8_static_unmasked", "int8:static", None, True))
+    if args.only is not None:
+        fwd_probes = tuple(p for p in fwd_probes if args.only in p[0])
+    qstate = None
+    if any(p[1] == "int8:static" for p in fwd_probes):
+        amax = dm.collect_int8_amax(params, spec, [np.asarray(x)])
+        qstate = dm.make_qstate(params, spec, amax)
     for label, cd, mode, ps in fwd_probes:
+        qs = qstate if cd == "int8:static" else None
+        if cd == "int8:static":
+            cd = "int8"
         if mode is None:
-            def run(p, xx, vh, vw, cd=cd, ps=ps):
+            def run(p, xx, vh, vw, cd=cd, ps=ps, qs=qs):
                 return dm.forward(p, xx, spec, compute_dtype=cd,
-                                  pallas_stem=ps)
+                                  pallas_stem=ps, qstate=qs)
         else:
-            def run(p, xx, vh, vw, cd=cd, mode=mode, ps=ps):
+            def run(p, xx, vh, vw, cd=cd, mode=mode, ps=ps, qs=qs):
                 return dm.forward(p, xx, spec, compute_dtype=cd,
                                   valid_hw=(vh, vw), mask_mode=mode,
-                                  pallas_stem=ps)
+                                  pallas_stem=ps, qstate=qs)
 
         fn = jax.jit(run)
         wall = _timed(fn, (params, x, vh_t, vw_t), args.iters)
@@ -112,7 +133,7 @@ def main():
         print(json.dumps({"probe": label, "size": [h, w], **results[label]}),
               flush=True)
 
-    if not args.train_only:
+    if not args.train_only and args.only is None:
         # batching: B copies of the same forward in one dispatch
         xb = jnp.asarray(rng.randn(args.batch, h // 2, w // 2, 3)
                          .astype(np.float32) * 30)

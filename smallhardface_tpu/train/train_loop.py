@@ -295,6 +295,10 @@ def _init_params(spec, pretrained_model):
 def train_net(roidb, output_dir, pretrained_model, max_iter,
               mesh=None, progress_hook=None):
     """Train the detector; snapshots + final weights land in output_dir."""
+    if str(cfg.TPU.PRECISION) == "int8":
+        raise ValueError(
+            "TPU.PRECISION='int8' is inference-only (dynamic rounding "
+            "has no gradient); train with 'float32' or 'bfloat16'")
     spec = detector_mod.build_spec(cfg)
     tc = targets_mod.from_cfg(cfg)
     if mesh is None and cfg.PDB:
