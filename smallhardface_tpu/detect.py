@@ -194,11 +194,14 @@ class TPUDetector:
                               valid_w[li] * detector_mod.FEAT_STRIDE),
                     mask_mode=_mask_plan()[0],
                     s2d_stem=bool(cfg.TPU.S2D_STEM),
-                    # a Pallas custom call cannot be spatially
-                    # partitioned by the SPMD partitioner — the sharded
-                    # H axis must take the plain XLA stem
-                    pallas_stem=bool(cfg.TPU.PALLAS_STEM)
-                    and self.spatial_mesh is None,
+                    # under a spatial mesh the forward routes the stem
+                    # through fused_stem_spatial (shard_map + halo
+                    # exchange — the SPMD partitioner cannot split a
+                    # Pallas custom call) when the level bucket's H
+                    # divides n·8, and falls back to the XLA stem chain
+                    # otherwise
+                    pallas_stem=bool(cfg.TPU.PALLAS_STEM),
+                    spatial_mesh=self.spatial_mesh,
                     qstate=qstate)
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),

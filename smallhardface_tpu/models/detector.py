@@ -312,7 +312,8 @@ def _zero_band(h, v, width, axis, margin_ok=False):
 
 def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
             mask_mode="band", s2d_stem=False, pallas_stem=False,
-            stem_vma=None, qstate=None, int8_amax=None):
+            stem_vma=None, qstate=None, int8_amax=None,
+            spatial_mesh=None, spatial_axis="sp"):
     """Run the detector. x: (B, H, W, 3) BGR mean-subtracted, H, W multiples
     of 16. Returns dict with:
       cls_logits: (B, h, w, A, 2)  per-anchor (bg, fg) logits, stride 8
@@ -522,24 +523,37 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
 
     h = mask(x)
     feats = {}
+    n_sp = (spatial_mesh.shape[spatial_axis]
+            if spatial_mesh is not None else 1)
     use_pallas_stem = (
         pallas_stem and cd in (None, jnp.bfloat16)
         and VGG_STAGES[0] == ("conv1", 64, 2)       # skeletal test models
-        and x.shape[1] % 8 == 0 and x.shape[2] % 128 == 0
+        and x.shape[1] % (8 * n_sp) == 0 and x.shape[2] % 128 == 0
         and x.shape[2] <= 4096)
     if use_pallas_stem:
-        from smallhardface_tpu.ops.pallas_stem import fused_stem
+        from smallhardface_tpu.ops.pallas_stem import (fused_stem,
+                                                       fused_stem_spatial)
         with jax.named_scope("pallas_stem"):
             # the kernel is fp32-in/out (internally bf16 dots, like both
             # precision modes' MXU passes); under compute_dtype=bf16 the
             # activations upcast losslessly in and round back out
-            h = fused_stem(
+            stem_args = (
                 h.astype(jnp.float32),
                 params["conv1_1"]["w"].astype(jnp.float32),
                 params["conv1_1"]["b"].astype(jnp.float32),
                 params["conv1_2"]["w"].astype(jnp.float32),
-                params["conv1_2"]["b"].astype(jnp.float32),
-                valid_hw=valid_hw, vma=stem_vma)
+                params["conv1_2"]["b"].astype(jnp.float32))
+            if spatial_mesh is not None:
+                # H-sharded image: shard_map + explicit TH-row halo
+                # exchange (the SPMD partitioner cannot split a Pallas
+                # custom call; without this the spatial path paid the
+                # 10× slower XLA stem chain)
+                h = fused_stem_spatial(*stem_args, mesh=spatial_mesh,
+                                       axis=spatial_axis,
+                                       valid_hw=valid_hw)
+            else:
+                h = fused_stem(*stem_args, valid_hw=valid_hw,
+                               vma=stem_vma)
         if cd is not None:
             h = h.astype(cd)
         stride[0] *= 2

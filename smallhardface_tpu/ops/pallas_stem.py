@@ -45,6 +45,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -58,6 +59,9 @@ def _kernel(scal_ref, xp_ref, xc_ref, xn_ref, w1_ref, b1_ref, w2_ref,
     n_i = pl.num_programs(1)
     vh = scal_ref[0]
     vw = scal_ref[1]
+    r0 = scal_ref[2]        # first valid ROW: rows < r0 are masked like
+    # rows >= vh (0 for whole images; fused_stem_spatial sets it on the
+    # top shard, whose halo rows are zeros standing in for image padding)
 
     # ---- assemble the haloed input strip: rows [i*TH-2, i*TH+TH+2) ----
     # xs (TH+4, 3, W+4) rows-leading; columns offset by 2 (W halo),
@@ -83,7 +87,7 @@ def _kernel(scal_ref, xp_ref, xc_ref, xn_ref, w1_ref, b1_ref, w2_ref,
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (TH + 4, 1, W + 4), 0) + i * TH - 2
     cols = jax.lax.broadcasted_iota(jnp.int32, (TH + 4, 1, W + 4), 2) - 2
-    xs_inside = (rows < vh) & (cols < vw)
+    xs_inside = (rows >= r0) & (rows < vh) & (cols < vw)
     xs_ref[:] = jnp.where(xs_inside, xs_ref[:], 0.0)
 
     # ---- conv1_1 rows: c1 row r1 is global row i*TH - 1 + r1 ----
@@ -101,7 +105,7 @@ def _kernel(scal_ref, xp_ref, xc_ref, xn_ref, w1_ref, b1_ref, w2_ref,
             preferred_element_type=jnp.float32)          # (64, W+2)
         act = jnp.maximum(acc + b1_ref[:], 0.0)
         grow = i * TH - 1 + r1
-        inside = (grow >= 0) & (grow < vh) & (c1_cols >= 0) & \
+        inside = (grow >= r0) & (grow < vh) & (c1_cols >= 0) & \
             (c1_cols < vw)
         c1_ref[r1] = jnp.where(inside, act, 0.0).astype(jnp.bfloat16)
         return 0
@@ -198,13 +202,16 @@ def prep_weights(w1, b1, w2, b2):
             w2taps, jnp.reshape(b2, (64, 1)))
 
 
-def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, interpret=False,
-               vma=None):
+def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, valid_r0=0,
+               interpret=False, vma=None):
     """relu(conv3x3(relu(conv3x3(x, w1, b1)), w2, b2)) → 2×2/2 max pool,
     with exact valid-extent masking.
 
     x: (B, H, W, 3) float32, H % 8 == 0, W % 128 == 0.
     valid_hw: (vh, vw) scalars or None (= full extent).
+    valid_r0: first valid ROW — rows < valid_r0 are masked exactly like
+    rows >= vh (0 for whole images; fused_stem_spatial passes the top
+    shard's halo offset so zero halo rows reproduce image-top padding).
     vma: varying-axis names under shard_map (like ops/pallas_iou.py).
     Returns (B, H/2, W/2, 64) float32.
 
@@ -212,17 +219,83 @@ def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, interpret=False,
     emitting d(w1, b1, w2, b2) only (the image gets zeros — the detector
     never differentiates wrt the input). Exact backward parity with the
     XLA composition requires EVEN valid extents (training valid_hw is
-    stride-8-aligned); the primal has no such restriction.
+    stride-8-aligned) and an even valid_r0; the primal has no such
+    restriction.
     """
     B, H, W, C = x.shape
     assert C == 3 and H % TH == 0 and W % 128 == 0, (B, H, W, C)
     if valid_hw is None:
-        valid = jnp.asarray([H, W], jnp.int32)
-    else:
-        valid = jnp.stack([jnp.asarray(valid_hw[0], jnp.int32),
-                           jnp.asarray(valid_hw[1], jnp.int32)])
+        valid_hw = (H, W)
+    valid = jnp.stack([jnp.asarray(valid_hw[0], jnp.int32),
+                       jnp.asarray(valid_hw[1], jnp.int32),
+                       jnp.asarray(valid_r0, jnp.int32)])
     return _stem_op(x, w1, b1, w2, b2, valid, interpret,
                     tuple(vma) if vma else None)
+
+
+def fused_stem_spatial(x, w1, b1, w2, b2, mesh, axis="sp", valid_hw=None,
+                       *, interpret=False):
+    """fused_stem over an H-sharded image: shard_map + explicit halo
+    exchange on ICI instead of the SPMD partitioner (which cannot
+    partition a Pallas custom call — the reason the spatial path
+    previously fell back to the 10× slower XLA stem chain).
+
+    Each shard ppermutes its TH edge rows to both neighbors, runs the
+    kernel on the (Hs + 2·TH)-row extended strip, and keeps its own
+    pooled rows. Boundary semantics are exact: edge shards receive ZERO
+    halos from ppermute, and the kernel's valid row window
+    [r0, r1) × [0, vw) zeroes the conv1_1 activations in the top shard's
+    halo — reproducing the reference's implicit zero padding bit-for-bit
+    (a zero INPUT halo alone would leave relu(b1) in the conv1_1 halo
+    rows, which conv1_2's boundary taps must read as exact zeros —
+    the same discipline as detector.cbr).
+
+    x: (B, H, W, 3) float32 with H sharded over `axis`; H % (n·TH) == 0.
+    valid_hw: GLOBAL (vh, vw) scalars or None. Inference-only (the
+    backward kernel handles r0, but no spatial training path calls it).
+    Returns (B, H/2, W/2, 64), H/2 sharded over `axis`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B, H, W, C = x.shape
+    n = mesh.shape[axis]
+    Hs = H // n
+    assert H % (n * TH) == 0, (H, n, TH)
+    if valid_hw is None:
+        valid_hw = (H, W)
+    vh = jnp.asarray(valid_hw[0], jnp.int32)
+    vw = jnp.asarray(valid_hw[1], jnp.int32)
+
+    def body(x_loc, w1, b1, w2, b2, vh, vw):
+        i = jax.lax.axis_index(axis)
+        down = [(j, j + 1) for j in range(n - 1)]   # shard j → j+1
+        up = [(j + 1, j) for j in range(n - 1)]     # shard j+1 → j
+        # halo rows ride ICI; edge shards receive zeros (ppermute fills
+        # unaddressed destinations with 0)
+        top = jax.lax.ppermute(x_loc[:, Hs - TH:], axis, down)
+        bot = jax.lax.ppermute(x_loc[:, :TH], axis, up)
+        x_ext = jnp.concatenate([top, x_loc, bot], axis=1)
+        # ext row e ↔ global row i·Hs − TH + e; the valid global window
+        # [0, vh) maps to ext rows [TH − i·Hs, vh − i·Hs + TH)
+        r0 = jnp.maximum(TH - i * Hs, 0)
+        r1 = jnp.clip(vh - i * Hs + TH, 0, Hs + 2 * TH)
+        # interpret mode (CPU tests): the Pallas HLO interpreter cannot
+        # yet thread varying-axis types through its internal slicing, so
+        # the shard_map runs with check_vma=False and no vma annotation;
+        # the compiled TPU path keeps full vma checking (same discipline
+        # as the training-DP stem call)
+        out = fused_stem(x_ext, w1, b1, w2, b2, valid_hw=(r1, vw),
+                         valid_r0=r0, interpret=interpret,
+                         vma=None if interpret else (axis,))
+        # own pooled rows: ext pool rows [TH/2, TH/2 + Hs/2)
+        return jax.lax.slice_in_dim(out, TH // 2, TH // 2 + Hs // 2,
+                                    axis=1)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P(), P(), P()),
+        out_specs=P(None, axis),
+        check_vma=not interpret)(x, w1, b1, w2, b2, vh, vw)
 
 
 
@@ -257,6 +330,8 @@ def _grad_kernel(scal_ref, xp_ref, xc_ref, xn_ref, dyp_ref, dyc_ref,
     n_i = pl.num_programs(1)
     vh = scal_ref[0]
     vw = scal_ref[1]
+    r0 = scal_ref[2]        # first valid row (see the forward kernel);
+    # exact parity needs an EVEN r0, like the even-valid rule below
     HB = TH // 2            # pooled rows per strip
     WB = W // 2
 
@@ -287,7 +362,8 @@ def _grad_kernel(scal_ref, xp_ref, xc_ref, xn_ref, dyp_ref, dyc_ref,
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (TH + 8, 1, W + 4), 0) + i * TH - 4
     cols = jax.lax.broadcasted_iota(jnp.int32, (TH + 8, 1, W + 4), 2) - 2
-    xs_ref[:] = jnp.where((rows < vh) & (cols < vw), xs_ref[:], 0.0)
+    xs_ref[:] = jnp.where((rows >= r0) & (rows < vh) & (cols < vw),
+                          xs_ref[:], 0.0)
 
     # ---- assemble dy pooled rows [i*HB-1, i*HB+HB+1) → (HB+2, 64, WB) ---
     dy_ref[1:HB + 1] = jnp.transpose(dyc_ref[0], (1, 0, 2))
@@ -306,7 +382,8 @@ def _grad_kernel(scal_ref, xp_ref, xc_ref, xn_ref, dyp_ref, dyc_ref,
         jnp.int32, (HB + 2, 1, WB), 0) + i * HB - 1
     qcols = jax.lax.broadcasted_iota(jnp.int32, (HB + 2, 1, WB), 2)
     dy_ref[:] = jnp.where(
-        (qrows >= 0) & (qrows * 2 < vh) & (qcols * 2 < vw), dy_ref[:], 0.0)
+        (qrows * 2 >= r0) & (qrows >= 0) & (qrows * 2 < vh) &
+        (qcols * 2 < vw), dy_ref[:], 0.0)
 
     # ---- recompute c1 rows global [i*TH-3, i*TH+TH+3) (c1 offset = g -
     # (i*TH-3)); xs offset of global row g-1 is (g-1)-(i*TH-4) = r1 ----
@@ -324,7 +401,7 @@ def _grad_kernel(scal_ref, xp_ref, xc_ref, xn_ref, dyp_ref, dyc_ref,
             preferred_element_type=jnp.float32)
         act = jnp.maximum(acc + b1_ref[:], 0.0)
         grow = i * TH - 3 + r1
-        inside = (grow >= 0) & (grow < vh) & (c1_cols >= 0) & \
+        inside = (grow >= r0) & (grow < vh) & (c1_cols >= 0) & \
             (c1_cols < vw)
         c1_ref[r1] = jnp.where(inside, act, 0.0)
         return 0

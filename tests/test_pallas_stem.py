@@ -358,3 +358,68 @@ def test_bf16_precision_path_uses_kernel():
     # both paths carry bf16 activation noise; agreement at the bf16 scale
     np.testing.assert_allclose(a, b, rtol=1e-1,
                                atol=0.05 * np.abs(b).max())
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded stem: shard_map + explicit halo exchange
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_stem_bitexact_full_extent(stem_weights):
+    """fused_stem_spatial on a 4-shard H mesh is BIT-identical to the
+    unsharded kernel: the per-row dots see the same operands in the same
+    order regardless of which strip a row lands in, and the halo exchange
+    + valid-row-window masking reproduce the strip-assembly semantics
+    exactly."""
+    from smallhardface_tpu.ops.pallas_stem import fused_stem_spatial
+    from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+    w1, b1, w2, b2 = stem_weights
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(1, 64, 128, 3).astype(np.float32) * 10)
+    mesh = make_spatial_mesh(4)
+    got = np.asarray(fused_stem_spatial(x, w1, b1, w2, b2, mesh=mesh,
+                                        interpret=INTERP))
+    want = np.asarray(fused_stem(x, w1, b1, w2, b2, interpret=INTERP))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spatial_stem_bucket_padding(stem_weights):
+    """Bucket-padded input (garbage beyond a traced valid extent that
+    falls mid-shard): the sharded kernel masks exactly like the unsharded
+    one — and both equal the plain composition on pre-zeroed input."""
+    from smallhardface_tpu.ops.pallas_stem import fused_stem_spatial
+    from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+    w1, b1, w2, b2 = stem_weights
+    rng = np.random.RandomState(11)
+    vh, vw = 40, 200              # row 40 lands inside shard 2 of [0,64)
+    x = jnp.asarray(rng.randn(1, 64, 256, 3).astype(np.float32) * 10)
+    mesh = make_spatial_mesh(4)
+    valid = (jnp.int32(vh), jnp.int32(vw))
+    got = np.asarray(fused_stem_spatial(x, w1, b1, w2, b2, mesh=mesh,
+                                        valid_hw=valid, interpret=INTERP))
+    want = np.asarray(fused_stem(x, w1, b1, w2, b2, valid_hw=valid,
+                                 interpret=INTERP))
+    np.testing.assert_array_equal(got, want)
+    # the true-composition oracle runs on the CROPPED image (the
+    # reference's implicit zero padding ends the image at vh/vw); bf16-dot
+    # tolerance as in test_bucket_padded_masking_parity
+    plain = np.asarray(_plain(jnp.asarray(np.asarray(x)[:, :vh, :vw]),
+                              w1, b1, w2, b2))
+    np.testing.assert_allclose(got[:, :vh // 2, :vw // 2], plain,
+                               rtol=2e-2,
+                               atol=0.01 * np.abs(plain).max())
+
+
+def test_spatial_stem_single_shard_mesh(stem_weights):
+    """n=1 degenerates to the plain kernel (zero halos both sides, the
+    full valid window) — the edge-shard masking must not clip anything."""
+    from smallhardface_tpu.ops.pallas_stem import fused_stem_spatial
+    from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+    w1, b1, w2, b2 = stem_weights
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 16, 128, 3).astype(np.float32) * 10)
+    mesh = make_spatial_mesh(1)
+    got = np.asarray(fused_stem_spatial(x, w1, b1, w2, b2, mesh=mesh,
+                                        interpret=INTERP))
+    want = np.asarray(fused_stem(x, w1, b1, w2, b2, interpret=INTERP))
+    np.testing.assert_array_equal(got, want)

@@ -55,17 +55,26 @@ def test_detect_spatial_sharded_matches_single():
         cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET = old
 
 
-def test_spatial_mesh_ignores_pallas_stem_flag():
-    """A Pallas custom call cannot be spatially partitioned, so the
-    spatial-mesh detector must take the plain XLA stem even when
-    TPU.PALLAS_STEM is on — same detections, no crash (the guard lives in
-    detect.py's forward calls)."""
+def test_spatial_mesh_uses_pallas_stem():
+    """The spatial-mesh detector routes the stem through
+    fused_stem_spatial (shard_map + explicit halo exchange — the SPMD
+    partitioner cannot split a Pallas custom call) whenever the level
+    bucket's H divides n·8: detections match the XLA-stem spatial path
+    to the kernel's bf16-dot rounding."""
+    import smallhardface_tpu.ops.pallas_stem as ps
     old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
            cfg.TPU.PALLAS_STEM)
     cfg.TEST.SCALES = [60]
     cfg.TEST.FLIP = False
     cfg.TPU.TEST_BUCKET = 64
     cfg.TPU.PALLAS_STEM = True
+    orig = ps.fused_stem
+    ps.fused_stem = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    called = []
+    orig_sp = ps.fused_stem_spatial
+    ps.fused_stem_spatial = (
+        lambda *a, **k: called.append(1) or
+        orig_sp(*a, **{**k, "interpret": True}))
     try:
         spec = dm.ModelSpec(different_dilation=True)
         params = dm.init_params(jax.random.PRNGKey(1), spec)
@@ -74,10 +83,23 @@ def test_spatial_mesh_ignores_pallas_stem_flag():
         mesh = make_spatial_mesh(4)
         det = TPUDetector(params, spec, spatial_mesh=mesh)
         sharded = det.detect(im, thresh=0.05)[0][0]
+        assert called, "spatial path did not route through the kernel"
         cfg.TPU.PALLAS_STEM = False
         det_off = TPUDetector(params, spec, spatial_mesh=mesh)
         plain = det_off.detect(im, thresh=0.05)[0][0]
-        np.testing.assert_array_equal(sharded, plain)
+        assert sharded.shape[0] == plain.shape[0]
+        # the two stems round differently (bf16 dots vs CPU fp32), so
+        # nearly-tied rows lexsort into different orders; match each row
+        # to its nearest counterpart instead
+        taken = np.zeros(len(plain), bool)
+        for row in sharded:
+            d = np.abs(plain - row).max(axis=1)
+            d[taken] = np.inf
+            j = int(np.argmin(d))
+            assert d[j] < 0.1, (row, plain[j], d[j])
+            taken[j] = True
     finally:
+        ps.fused_stem = orig
+        ps.fused_stem_spatial = orig_sp
         (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
          cfg.TPU.PALLAS_STEM) = old
