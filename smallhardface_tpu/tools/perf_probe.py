@@ -58,7 +58,8 @@ def main():
                          "timing only)")
     ap.add_argument("--only", default=None,
                     help="run only forward probes whose label contains "
-                         "this substring (and skip the batching probe)")
+                         "one of these comma-separated substrings (and "
+                         "skip the batching probe)")
     args = ap.parse_args()
     if args.train_only:
         args.train = True
@@ -105,7 +106,9 @@ def main():
             ("fwd_int8_static_where", "int8:static", "where", True),
             ("fwd_int8_static_unmasked", "int8:static", None, True))
     if args.only is not None:
-        fwd_probes = tuple(p for p in fwd_probes if args.only in p[0])
+        keys = args.only.split(",")
+        fwd_probes = tuple(p for p in fwd_probes
+                           if any(k in p[0] for k in keys))
     qstate = None
     if any(p[1] == "int8:static" for p in fwd_probes):
         amax = dm.collect_int8_amax(params, spec, [np.asarray(x)])

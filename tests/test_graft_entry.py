@@ -20,6 +20,10 @@ def test_dryrun_multichip_from_single_device_parent():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     code = (
         "import jax\n"
+        # the axon site package overrides JAX_PLATFORMS from the env;
+        # config wins over it (and keeps this test off the TPU tunnel,
+        # whose cold init can block for minutes in bad weather)
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "assert jax.device_count() == 1, jax.device_count()\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(8)\n"
@@ -39,6 +43,7 @@ def test_entry_compiles_single_device():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     code = (
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "import __graft_entry__ as g\n"
         "fn, args = g.entry()\n"
         "out = jax.jit(fn)(*args)\n"
