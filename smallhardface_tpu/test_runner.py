@@ -46,8 +46,16 @@ def _load_params(spec):
 def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
     """Per-device worker with a depth-2 pipeline: image i+1 is uploaded and
     dispatched while image i's results are read back and voted on the host
-    (the async-dispatch analog of the reference's prefetching data layers)."""
-    det = TPUDetector(params, spec, device=device)
+    (the async-dispatch analog of the reference's prefetching data layers).
+
+    `device` is a single jax.Device, or a jax.sharding.Mesh when
+    TPU.SPATIAL_DEVICES > 1 — then this worker's images each run
+    H-sharded across the mesh's devices (detect.TPUDetector
+    spatial_mesh semantics; bit-identical detections)."""
+    if isinstance(device, jax.sharding.Mesh):
+        det = TPUDetector(params, spec, spatial_mesh=device)
+    else:
+        det = TPUDetector(params, spec, device=device)
     if det.compute_dtype == "int8":
         # static quantization: calibrate activation ranges on the first
         # few images of this worker's shard (one-time, before the timed
@@ -78,6 +86,13 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
                 "detect-time", timers["detect"].average_time, step=i - start)
 
     eval_batch = int(cfg.TPU.EVAL_BATCH)
+    if eval_batch > 1 and det.spatial_mesh is not None:
+        if rank == 0:
+            logger.warning(
+                "TPU.EVAL_BATCH=%d ignored under TPU.SPATIAL_DEVICES: "
+                "detect_many batches per chip; spatial groups run the "
+                "per-image pipeline", eval_batch)
+        eval_batch = 1
     if pipelined and eval_batch > 1:
         # batched mode: same-bucket images share one device dispatch
         # (detect_many); bounded program count because only full batches
@@ -131,12 +146,26 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
 
 def run_inference(imdb, params, spec, thresh):
     devices = jax.local_devices()
-    n_workers = max(1, min(len(devices), len(imdb)))
+    k = int(cfg.TPU.SPATIAL_DEVICES)
+    if k > 1:
+        # two-axis eval: groups of k devices each run one image H-sharded
+        # (spatial axis), the groups data-parallel over the image shard
+        if len(devices) % k != 0:
+            raise ValueError(
+                f"TPU.SPATIAL_DEVICES={k} must divide the local device "
+                f"count ({len(devices)})")
+        from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+        from jax.sharding import Mesh
+        units = [Mesh(np.array(devices[g * k:(g + 1) * k]), (SPATIAL_AXIS,))
+                 for g in range(len(devices) // k)]
+    else:
+        units = devices
+    n_workers = max(1, min(len(units), len(imdb)))
     len_per = int(np.ceil(len(imdb) / n_workers))
-    shards = [(r, devices[r], len_per * r, min(len_per * (r + 1), len(imdb)))
+    shards = [(r, units[r], len_per * r, min(len_per * (r + 1), len(imdb)))
               for r in range(n_workers)]
     if n_workers == 1:
-        results = [inference_worker(0, devices[0], imdb, params, spec,
+        results = [inference_worker(0, units[0], imdb, params, spec,
                                     0, len(imdb), thresh)]
     else:
         with ThreadPoolExecutor(max_workers=n_workers) as pool:

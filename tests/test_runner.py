@@ -127,3 +127,44 @@ def test_eval_batch_matches_per_image(tmp_path, tiny_test_cfg):
             np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
     finally:
         cfg.TPU.EVAL_BATCH, cfg.TPU.VOTE_CAP = old
+
+
+def test_spatial_devices_eval_matches_per_device(tmp_path, tiny_test_cfg):
+    """TPU.SPATIAL_DEVICES=4 on the 8-device CPU mesh: two data-parallel
+    groups of 4, each image H-sharded across its group — detections match
+    the plain one-worker-per-device run to last-ulp float reassociation
+    (XLA's partitioner reorders reductions around the halo exchanges;
+    observed max diff 8e-6)."""
+    imdb = FakeImdb(_images(tmp_path, 4))
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    old = cfg.TPU.SPATIAL_DEVICES
+    try:
+        cfg.TPU.SPATIAL_DEVICES = 1
+        out1 = str(tmp_path / "p1"); os.makedirs(out1)
+        test_runner.test_net(imdb, out1, thresh=0.05, no_cache=True,
+                             params=params, spec=spec)
+        plain = [d.copy() for d in imdb.evaluated[1]]
+        cfg.TPU.SPATIAL_DEVICES = 4
+        imdb2 = FakeImdb(imdb._paths)
+        out2 = str(tmp_path / "p2"); os.makedirs(out2)
+        test_runner.test_net(imdb2, out2, thresh=0.05, no_cache=True,
+                             params=params, spec=spec)
+        for a, b in zip(plain, imdb2.evaluated[1]):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+    finally:
+        cfg.TPU.SPATIAL_DEVICES = old
+
+
+def test_spatial_devices_must_divide(tmp_path, tiny_test_cfg):
+    imdb = FakeImdb(_images(tmp_path, 2))
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(0), spec)
+    old = cfg.TPU.SPATIAL_DEVICES
+    try:
+        cfg.TPU.SPATIAL_DEVICES = 3           # 8 % 3 != 0
+        with pytest.raises(ValueError, match="must divide"):
+            test_runner.run_inference(imdb, params, spec, 0.05)
+    finally:
+        cfg.TPU.SPATIAL_DEVICES = old
