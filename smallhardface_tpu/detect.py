@@ -129,6 +129,13 @@ class TPUDetector:
                 "'where' (dynamic activation scales are global reduces; "
                 f"'{cfg.TPU.MASK_MODE}' buckets carry garbage padding)")
         self.host_preproc = bool(cfg.TPU.HOST_PREPROC)
+        if spatial_mesh is not None and self.host_preproc:
+            # the host-preproc parity path jits without mesh shardings —
+            # it would silently run unsharded on one device of the mesh
+            raise ValueError(
+                "spatial_mesh is incompatible with TPU.HOST_PREPROC "
+                "(the reference-exact host path has no sharded program); "
+                "unset one of them")
         # device-side final NMS/vote: only final detections cross D2H
         self.device_vote = (bool(cfg.TPU.DEVICE_VOTE)
                             and not self.host_preproc)

@@ -50,8 +50,22 @@ class DetectorService:
     REQUEST_TIMEOUT_S = 30 * 60
 
     def __init__(self, params, spec, batch_window_ms=0, max_batch=2):
+        from smallhardface_tpu.config import cfg
         from smallhardface_tpu.detect import TPUDetector
-        self.det = TPUDetector(params, spec)
+        spatial_mesh = None
+        k = int(cfg.TPU.SPATIAL_DEVICES)
+        if k > 1:
+            # each request's image runs H-sharded across the first k
+            # local devices (latency / HBM lever for large images, same
+            # semantics as test_runner's grouped eval)
+            if float(batch_window_ms) > 0:
+                raise ValueError(
+                    "TPU.SPATIAL_DEVICES > 1 is incompatible with "
+                    "--batch-window-ms (detect_many batches per chip); "
+                    "use per-request serving for spatially-sharded images")
+            from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+            spatial_mesh = make_spatial_mesh(k)
+        self.det = TPUDetector(params, spec, spatial_mesh=spatial_mesh)
         self._dispatch_lock = threading.Lock()
         self.batch_window = float(batch_window_ms) / 1e3
         self.max_batch = int(max_batch)

@@ -115,3 +115,30 @@ def test_micro_batching_matches_per_request(server):
     # decode errors must surface to the right caller, not hang the loop
     with pytest.raises(ValueError):
         batched.detect(b"not an image")
+
+
+def test_spatial_serving_matches_plain():
+    """TPU.SPATIAL_DEVICES=4: the service shards each request's image
+    across a 4-device group; detections match plain per-device serving
+    to last-ulp reassociation. batch-window micro-batching is rejected
+    (detect_many batches per chip)."""
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TPU.SPATIAL_DEVICES)
+    cfg.TEST.SCALES = [50]
+    cfg.TEST.FLIP = False
+    cfg.TPU.TEST_BUCKET = 64
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(0), spec)
+        body = _jpeg()
+        cfg.TPU.SPATIAL_DEVICES = 1
+        plain = serve_mod.DetectorService(params, spec).detect(body)
+        cfg.TPU.SPATIAL_DEVICES = 4
+        sp = serve_mod.DetectorService(params, spec).detect(body)
+        assert sp.shape == plain.shape
+        np.testing.assert_allclose(sp, plain, rtol=1e-5, atol=1e-4)
+        with pytest.raises(ValueError, match="incompatible"):
+            serve_mod.DetectorService(params, spec, batch_window_ms=5)
+    finally:
+        (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+         cfg.TPU.SPATIAL_DEVICES) = old

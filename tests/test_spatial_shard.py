@@ -103,3 +103,18 @@ def test_spatial_mesh_uses_pallas_stem():
         ps.fused_stem_spatial = orig_sp
         (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
          cfg.TPU.PALLAS_STEM) = old
+
+
+def test_spatial_mesh_rejects_host_preproc():
+    """The host-preproc parity path has no sharded program; combining it
+    with a spatial mesh must fail loudly at construction instead of
+    silently running unsharded."""
+    old = cfg.TPU.HOST_PREPROC
+    cfg.TPU.HOST_PREPROC = True
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(0), spec)
+        with pytest.raises(ValueError, match="HOST_PREPROC"):
+            TPUDetector(params, spec, spatial_mesh=make_spatial_mesh(4))
+    finally:
+        cfg.TPU.HOST_PREPROC = old
