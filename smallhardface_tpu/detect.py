@@ -93,7 +93,8 @@ class TPUDetector:
         """spatial_mesh: optional Mesh from parallel.mesh.make_spatial_mesh
         — shards every pyramid level's H axis across the mesh so a single
         image's inference runs on multiple chips (XLA inserts the conv
-        halo exchanges); detections are bit-identical to single-chip."""
+        halo exchanges); detections match single-chip to last-ulp float
+        reassociation around the exchanges (observed max 8e-6)."""
         self.spec = spec or detector_mod.build_spec(cfg)
         self.device = device
         self.spatial_mesh = spatial_mesh
@@ -330,8 +331,9 @@ class TPUDetector:
                           valid_w * detector_mod.FEAT_STRIDE),
                 mask_mode=_mask_plan()[0],
                 s2d_stem=bool(cfg.TPU.S2D_STEM),
-                pallas_stem=bool(cfg.TPU.PALLAS_STEM)
-                and self.spatial_mesh is None,
+                # host-preproc only (spatial_mesh + HOST_PREPROC is
+                # rejected at construction, so no mesh plumbing here)
+                pallas_stem=bool(cfg.TPU.PALLAS_STEM),
                 qstate=qstate)
             return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
                                       min_size, score_thresh)

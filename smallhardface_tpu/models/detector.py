@@ -529,7 +529,11 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         pallas_stem and cd in (None, jnp.bfloat16)
         and VGG_STAGES[0] == ("conv1", 64, 2)       # skeletal test models
         and x.shape[1] % (8 * n_sp) == 0 and x.shape[2] % 128 == 0
-        and x.shape[2] <= 4096)
+        and x.shape[2] <= 4096
+        # spatial: each shard pays a fixed 2·TH=16-row halo (strip
+        # alignment), so tiny shards would mostly recompute neighbors'
+        # rows — below 4 strips/shard the XLA chain is the better deal
+        and (n_sp == 1 or x.shape[1] >= 4 * 8 * n_sp))
     if use_pallas_stem:
         from smallhardface_tpu.ops.pallas_stem import (fused_stem,
                                                        fused_stem_spatial)

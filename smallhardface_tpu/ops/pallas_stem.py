@@ -254,6 +254,13 @@ def fused_stem_spatial(x, w1, b1, w2, b2, mesh, axis="sp", valid_hw=None,
     valid_hw: GLOBAL (vh, vw) scalars or None. Inference-only (the
     backward kernel handles r0, but no spatial training path calls it).
     Returns (B, H/2, W/2, 64), H/2 sharded over `axis`.
+
+    Cost note: the exchanged halo is a full TH-row strip per side (strip
+    alignment of the kernel grid) though only 3 rows feed the kept
+    output — each shard computes Hs + 2·TH rows for Hs, an overlap
+    fraction of 2·TH·n/H. detector.forward gates engagement to
+    Hs ≥ 4·TH so the redundancy stays ≤ 50 %; below that the XLA chain
+    wins on tiny levels anyway.
     """
     from jax.sharding import PartitionSpec as P
 

@@ -63,8 +63,18 @@ class DetectorService:
                     "TPU.SPATIAL_DEVICES > 1 is incompatible with "
                     "--batch-window-ms (detect_many batches per chip); "
                     "use per-request serving for spatially-sharded images")
-            from smallhardface_tpu.parallel.mesh import make_spatial_mesh
-            spatial_mesh = make_spatial_mesh(k)
+            import jax
+            from jax.sharding import Mesh
+            from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+            local = jax.local_devices()
+            if k > len(local):
+                # fail at construction — make_spatial_mesh would clamp
+                # to fewer devices and silently lose the HBM/latency
+                # headroom this setting exists to provide
+                raise ValueError(
+                    f"TPU.SPATIAL_DEVICES={k} exceeds the "
+                    f"{len(local)} local devices")
+            spatial_mesh = Mesh(np.array(local[:k]), (SPATIAL_AXIS,))
         self.det = TPUDetector(params, spec, spatial_mesh=spatial_mesh)
         self._dispatch_lock = threading.Lock()
         self.batch_window = float(batch_window_ms) / 1e3

@@ -51,7 +51,8 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
     `device` is a single jax.Device, or a jax.sharding.Mesh when
     TPU.SPATIAL_DEVICES > 1 — then this worker's images each run
     H-sharded across the mesh's devices (detect.TPUDetector
-    spatial_mesh semantics; bit-identical detections)."""
+    spatial_mesh semantics; detections match single-device to last-ulp
+    float reassociation around the halo exchanges)."""
     if isinstance(device, jax.sharding.Mesh):
         det = TPUDetector(params, spec, spatial_mesh=device)
     else:

@@ -106,7 +106,7 @@ def main():
             ("fwd_int8_static_where", "int8:static", "where", True),
             ("fwd_int8_static_unmasked", "int8:static", None, True))
     if args.only is not None:
-        keys = args.only.split(",")
+        keys = [k for k in args.only.split(",") if k]
         fwd_probes = tuple(p for p in fwd_probes
                            if any(k in p[0] for k in keys))
     qstate = None
