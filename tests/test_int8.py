@@ -245,3 +245,34 @@ def test_detector_int8_mode_wires_through():
     # random-init worst case: counts in the same ballpark, geometry of
     # the confident detections overlapping
     assert abs(d8.shape[0] - d32.shape[0]) <= max(5, 0.5 * d32.shape[0])
+
+
+def test_int8_static_spatial_mesh_matches_single():
+    """Calibrated (chained) int8 under a spatial mesh: the int8 carriers,
+    cross-shard requantizes, and the f4 lateral dequant all partition
+    cleanly — detections match the single-device int8 run to last-ulp
+    reassociation."""
+    from smallhardface_tpu.detect import TPUDetector
+    from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(2), spec)
+    rng = np.random.RandomState(8)
+    im = rng.randint(0, 255, (60, 90, 3), dtype=np.uint8)
+    saved = (cfg.TPU.PRECISION, cfg.TPU.MASK_MODE, cfg.TEST.SCALES,
+             cfg.TEST.FLIP)
+    cfg.TEST.SCALES = [48]
+    cfg.TEST.FLIP = False
+    try:
+        cfg.TPU.MASK_MODE = "where"
+        cfg.TPU.PRECISION = "int8"
+        det1 = TPUDetector(params, spec)
+        det1.calibrate_int8([im])
+        single = det1.detect(im, thresh=0.05)[0][0]
+        det_sp = TPUDetector(params, spec, spatial_mesh=make_spatial_mesh(2))
+        det_sp.calibrate_int8([im])
+        sharded = det_sp.detect(im, thresh=0.05)[0][0]
+        assert single.shape == sharded.shape
+        np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-3)
+    finally:
+        (cfg.TPU.PRECISION, cfg.TPU.MASK_MODE, cfg.TEST.SCALES,
+         cfg.TEST.FLIP) = saved
