@@ -259,9 +259,10 @@ def test_int8_static_spatial_mesh_matches_single():
     rng = np.random.RandomState(8)
     im = rng.randint(0, 255, (60, 90, 3), dtype=np.uint8)
     saved = (cfg.TPU.PRECISION, cfg.TPU.MASK_MODE, cfg.TEST.SCALES,
-             cfg.TEST.FLIP)
+             cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET)
     cfg.TEST.SCALES = [48]
     cfg.TEST.FLIP = False
+    cfg.TPU.TEST_BUCKET = 64      # small compiled programs (1-core box)
     try:
         cfg.TPU.MASK_MODE = "where"
         cfg.TPU.PRECISION = "int8"
@@ -275,4 +276,4 @@ def test_int8_static_spatial_mesh_matches_single():
         np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-3)
     finally:
         (cfg.TPU.PRECISION, cfg.TPU.MASK_MODE, cfg.TEST.SCALES,
-         cfg.TEST.FLIP) = saved
+         cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET) = saved
