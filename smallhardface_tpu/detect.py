@@ -393,21 +393,29 @@ class TPUDetector:
         if self.compute_dtype != "int8":
             raise ValueError(
                 "calibrate_int8 requires TPU.PRECISION='int8'")
-        mean = np.asarray(cfg.PIXEL_MEANS, np.float32).reshape(1, 1, 3)
+        mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
+        # uint8 uploads only (H2D ≈ 30 MB/s through the tunnel — a 5-level
+        # float32 pyramid would add minutes per eval worker): resize in
+        # uint8 on host, cast + mean-subtract + zero-pad on device. The
+        # sub-LSB rounding vs a float resize is immaterial to range
+        # calibration.
+        prep = jax.jit(
+            lambda u, hb, wb: jnp.pad(
+                (u.astype(jnp.float32) - mean)[None],
+                ((0, 0), (0, hb - u.shape[0]), (0, wb - u.shape[1]),
+                 (0, 0))),
+            static_argnums=(1, 2))
         xs = []
         for im in images:
             if isinstance(im, str):
                 im = cv2.imread(im)
             for scale in _pyramid_scales(im.shape):
-                r = cv2.resize(im.astype(np.float32), None,
-                               fx=scale, fy=scale,
-                               interpolation=cv2.INTER_LINEAR) - mean
-                h, w = r.shape[:2]
+                r8 = cv2.resize(im, None, fx=scale, fy=scale,
+                                interpolation=cv2.INTER_LINEAR)
+                h, w = r8.shape[:2]
                 hb = _round_up(h, cfg.MAX_RESOLUTION)
                 wb = _round_up(w, cfg.MAX_RESOLUTION)
-                x = np.zeros((1, hb, wb, 3), np.float32)
-                x[0, :h, :w] = r
-                xs.append(x)
+                xs.append(prep(jnp.asarray(r8), hb, wb))
         amax = detector_mod.collect_int8_amax(self.params, self.spec, xs)
         self.qstate = detector_mod.make_qstate(self.params, self.spec,
                                                amax)
@@ -640,21 +648,7 @@ class TPUDetector:
             return cls_dets, timers
 
         timers["detect"].tic()
-        scales = list(cfg.TEST.SCALES)
-        if len(scales) == 1:
-            # single-scale: short side → SCALES[0] capped at MAX_SIZE
-            # (reference non-pyramid path, lib/test.py:118-121)
-            pyramid_scales = [
-                compute_scaling_factor(im.shape, scales[0], cfg.TEST.MAX_SIZE)
-            ]
-        else:
-            base_scale = compute_scaling_factor(
-                im.shape, cfg.TEST.PYRAMID_BASE_SIZE[0],
-                cfg.TEST.PYRAMID_BASE_SIZE[1])
-            pyramid_scales = [
-                float(s) / cfg.TEST.PYRAMID_BASE_SIZE[0] * base_scale
-                for s in scales
-            ]
+        pyramid_scales = _pyramid_scales(im.shape)
 
         all_boxes = []
         all_scores = []

@@ -535,6 +535,12 @@ def forward(params, x, spec: ModelSpec, compute_dtype=None, valid_hw=None,
         # rows — below 4 strips/shard the XLA chain is the better deal
         and (n_sp == 1 or x.shape[1] >= 4 * 8 * n_sp))
     if use_pallas_stem:
+        # Mosaic only lowers on TPU — off-TPU the flag silently yields
+        # the XLA chain (default.toml contract); tests opt back in via
+        # pallas_stem.TESTING_INTERPRET
+        from smallhardface_tpu.ops import pallas_stem as _ps
+        use_pallas_stem = _ps.backend_ok()
+    if use_pallas_stem:
         from smallhardface_tpu.ops.pallas_stem import (fused_stem,
                                                        fused_stem_spatial)
         with jax.named_scope("pallas_stem"):

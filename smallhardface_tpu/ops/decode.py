@@ -113,8 +113,10 @@ def decode_proposals_train(fg_scores, bbox_deltas, base_anchors, *,
     ONLY the top-scoring proposal; the subsequent NMS and post-NMS cap
     are then no-ops on a single box. The effective contract — reproduced
     here and proven against a full numpy port of the branch in
-    tests/test_decode.py — is: argmax-select over (inside-grid ∧
-    min-size-ok) anchors, dummy roi (0, 0, 16, 16) when none qualifies
+    tests/test_decode.py — is: top-score select (last maximal index
+    under ties; the reference's unstable argsort leaves tie order
+    unspecified) over (inside-grid ∧ min-size-ok) anchors, dummy roi
+    (0, 0, 16, 16) when none qualifies
     (proposal_layer.py:206-207). pre_nms_top/post_nms_top/nms_thresh are
     accepted for call-signature parity with the config keys; they cannot
     change the result while the upstream quirk defines the contract.
@@ -136,7 +138,14 @@ def decode_proposals_train(fg_scores, bbox_deltas, base_anchors, *,
     keepable = grid_ok & (ws >= min_size) & (hs >= min_size)
 
     sortable = jnp.where(keepable, fg_scores, -jnp.inf).reshape(-1)
-    best = jnp.argmax(sortable)
+    # tie-break: the reference's argsort()[::-1] uses numpy's UNSTABLE
+    # default sort, so its tie order is unspecified; we pin the defined
+    # convention a stable ascending argsort reversed would give — the
+    # LAST maximal index (ties are realistic: trained softmax saturates
+    # many anchors to exactly 1.0 on confident faces). jnp.argmax picks
+    # the first, so argmax the reversed array instead.
+    n_flat = sortable.shape[0]
+    best = n_flat - 1 - jnp.argmax(sortable[::-1])
     any_ok = jnp.any(keepable)
     top_box = boxes.reshape(-1, 4)[best]
     dummy = jnp.asarray([0.0, 0.0, 16.0, 16.0], jnp.float32)

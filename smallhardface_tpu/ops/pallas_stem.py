@@ -50,6 +50,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TH = 8            # full-resolution rows per grid step
+
+# Tests set True to run the kernels through the Pallas interpreter on
+# CPU: backend_ok() then lets detector.forward engage the stem off-TPU,
+# and every kernel entry point forces interpret mode. Production never
+# touches this — off-TPU the forward silently takes the XLA chain.
+TESTING_INTERPRET = False
+
+
+def backend_ok():
+    """The Mosaic kernel only lowers on TPU (default.toml: 'falls back
+    silently otherwise'); detector.forward consults this before routing
+    the stem through the kernel."""
+    return TESTING_INTERPRET or jax.default_backend() == "tpu"
 # (input blocks need sublane-divisible row counts: TH % 8 == 0)
 
 
@@ -224,6 +237,7 @@ def fused_stem(x, w1, b1, w2, b2, valid_hw=None, *, valid_r0=0,
     """
     B, H, W, C = x.shape
     assert C == 3 and H % TH == 0 and W % 128 == 0, (B, H, W, C)
+    interpret = interpret or TESTING_INTERPRET
     if valid_hw is None:
         valid_hw = (H, W)
     valid = jnp.stack([jnp.asarray(valid_hw[0], jnp.int32),
@@ -264,6 +278,7 @@ def fused_stem_spatial(x, w1, b1, w2, b2, mesh, axis="sp", valid_hw=None,
     """
     from jax.sharding import PartitionSpec as P
 
+    interpret = interpret or TESTING_INTERPRET
     B, H, W, C = x.shape
     n = mesh.shape[axis]
     Hs = H // n

@@ -448,13 +448,19 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             _batch_dims(got),
             np.array([int(actions["stop"]), int(actions["snapshot"])],
                      np.int64)])
-        agreed = np.max(multihost_utils.process_allgather(msg), axis=0)
-        if agreed[-2]:
-            actions["stop"] = True
-        if agreed[-1]:
-            actions["snapshot"] = True
+        gathered = np.max(multihost_utils.process_allgather(msg), axis=0)
+        if gathered[-2]:
+            agreed["stop"] = True
+        # fresh each iteration: a gathered snapshot request is consumed
+        # by this iteration's rank-0 write
+        agreed["snapshot"] = bool(gathered[-1])
+        # the local flag has been shipped to every process; clearing it
+        # only now (not at the end of the iteration) means a SIGHUP that
+        # lands between the want_snapshot block and this gather still
+        # reaches rank 0 instead of being silently dropped
+        actions["snapshot"] = False
         return assemble_batch(got, n_local, iter_size, gt_buckets,
-                              raw_dims=agreed[:-2])
+                              raw_dims=gathered[:-2])
 
     snapshot_prefix = cfg.NAME if cfg.TRAIN.SNAPSHOT_INFIX == "" else \
         f"{cfg.NAME}_{cfg.TRAIN.SNAPSHOT_INFIX}"
@@ -462,7 +468,14 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     # Signal-driven actions, polled once per iteration like the reference
     # solver loop (caffe/src/caffe/util/signal_handler.cpp:10-95,
     # solver.cpp:253-266): SIGINT → snapshot + stop, SIGHUP → snapshot.
+    # `actions` is the process-LOCAL view the handler writes; under
+    # multi-host the loop acts only on `agreed` (the allgathered max in
+    # finish_batch) — acting on a local stop would exit this process one
+    # iteration before its peers learn of it, deadlocking them in the
+    # next collective, and clearing a local snapshot flag before it is
+    # gathered would silently drop a SIGHUP delivered to a non-zero rank.
     actions = {"stop": False, "snapshot": False}
+    agreed = {"stop": False, "snapshot": False}
     prev_handlers = {}
 
     def _on_signal(signum, frame):
@@ -517,16 +530,19 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                     d, _ = divmod(k, iter_size)
                     loaders[d].mark_easy(im_idx[k])
 
+        # under multi-host, only the allgather-agreed flags drive actions
+        # (local flags are shipped to the peers in finish_batch first)
+        eff = actions if n_procs == 1 else agreed
         want_snapshot = (it1 % int(cfg.TRAIN.SNAPSHOT) == 0
-                         or it1 == max_iter or actions["snapshot"]
-                         or actions["stop"])
+                         or it1 == max_iter or eff["snapshot"]
+                         or eff["stop"])
         if want_snapshot and proc != 0:
             # single-writer snapshots, like the reference's rank-0-only
             # snapshotting (lib/train.py:143-146); params are replicated
             # so process 0's copy is every process's copy
-            actions["snapshot"] = False
+            eff["snapshot"] = False
         elif want_snapshot:
-            actions["snapshot"] = False
+            eff["snapshot"] = False
             import pickle
             if n_procs > 1:
                 # process 0 only holds its own ranks' sampler state; a
@@ -571,7 +587,7 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             tb.sess.add_scalar_value("ETA (min)", eta / 60.0, step=it1)
         if progress_hook is not None:
             progress_hook(it1, metrics)
-        if actions["stop"]:
+        if eff["stop"]:
             logger.warning("Stopping at iteration %d on signal", it1)
             break
 

@@ -227,3 +227,30 @@ def test_train_phase_proposals_match_reference_branch(rng):
                                        err_msg=f"trial {trial}")
             np.testing.assert_allclose(np.asarray(scores)[0],
                                        want_scores[0], rtol=1e-5)
+
+
+def test_train_phase_proposals_tie_convention():
+    """Saturated scores (trained softmax emits exact 1.0 on many anchors)
+    tie at the max. The reference's argsort()[::-1] order is UNSPECIFIED
+    under ties (numpy's default sort is unstable), so the port pins the
+    defined convention a stable ascending argsort reversed yields: the
+    LAST maximal keepable index."""
+    h, w = 4, 5
+    im_h, im_w = 8 * h, 8 * w
+    fg = np.full((h, w, 3), 0.25, np.float32)
+    # three tied maxima at flat indices 7, 31, 43 (all inside the grid)
+    flat = fg.reshape(-1)
+    flat[[7, 31, 43]] = 1.0
+    deltas = np.zeros((h, w, 3, 4), np.float32)
+    rois, scores, n = decode.decode_proposals_train(
+        jnp.asarray(fg), jnp.asarray(deltas), BASE, feat_stride=8,
+        im_h=float(im_h), im_w=float(im_w), valid_h=h, valid_w=w,
+        min_size=2.0, pre_nms_top=1000, post_nms_top=300, nms_thresh=0.7)
+    assert int(n) == 1 and float(scores[0]) == 1.0
+    # the stable-reversed convention picks flat index 43
+    dense = anchors.dense_anchors(h, w, 8, BASE)
+    props = bbox_np.clip_boxes(
+        bbox_np.bbox_transform_inv(dense, deltas.reshape(-1, 4)),
+        (im_h, im_w))
+    np.testing.assert_allclose(np.asarray(rois)[0, 1:], props[43],
+                               rtol=1e-6)

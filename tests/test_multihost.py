@@ -216,3 +216,111 @@ def test_two_process_train_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             multi0[k], single[k], rtol=5e-6, atol=5e-8,
             err_msg=f"{k}: 2-process result diverged from single-process")
+
+
+SIGNAL_CHILD = r"""
+import glob
+import os
+import signal
+import sys
+import numpy as np
+import cv2
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+img_dir, out_dir = sys.argv[1], sys.argv[2]
+
+from smallhardface_tpu.parallel import mesh as pm
+m = pm.make_mesh()
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu.train import train_loop
+
+cfg.TRAIN.SCALES.SHORT_SIDE = [64]
+cfg.TRAIN.SCALES.MAX_SIZE = 128
+train_loop.BUCKET = 32
+dm.VGG_STAGES = (
+    ("conv1", 8, 1), ("conv2", 8, 1), ("conv3", 16, 1),
+    ("conv4", 16, 1), ("conv5", 16, 1))
+cfg.TRAIN.AUGMENT.ENABLE = False
+cfg.TRAIN.ITERSIZE = 1
+cfg.TRAIN.SNAPSHOT = 1000          # only signal-driven snapshots
+cfg.TPU.MAX_GT_BUCKETS = [8]
+cfg.MODEL.DIFFERENT_DILATION.ENABLE = True
+
+roidb = []
+for i in range(4):
+    x1, y1 = 10 + 5 * i, 12
+    roidb.append({
+        "image": os.path.join(img_dir, f"im{i}.jpg"),
+        "flipped": False,
+        "boxes": np.array([[x1, y1, x1 + 23, y1 + 23]], np.float64),
+        "gt_classes": np.array([1], np.int32),
+        "width": 80, "height": 64,
+    })
+
+seen = []
+
+def hook(it1, metrics):
+    seen.append(it1)
+    # signals land on process 1 ONLY — the cross-process agreement must
+    # carry them to rank 0 (snapshot writer) and stop both processes
+    if jax.process_index() == 1 and it1 == 2:
+        os.kill(os.getpid(), signal.SIGHUP)
+    if jax.process_index() == 1 and it1 == 5:
+        os.kill(os.getpid(), signal.SIGINT)
+
+train_loop.train_net(roidb, out_dir, pretrained_model=None,
+                     max_iter=50, mesh=m, progress_hook=hook)
+print(f"CHILD_OK {jax.process_index()} last_iter {seen[-1]}")
+"""
+
+
+def test_two_process_signal_agreement(tmp_path):
+    """SIGHUP and SIGINT delivered to process 1 ONLY: the snapshot request
+    must reach rank 0 (the single writer) via the bucket-dims allgather,
+    and the stop must bring BOTH processes down at the same iteration —
+    a process acting on its local flag alone would exit early and deadlock
+    the peer in the next collective (the round-3 review finding)."""
+    import glob
+    import numpy as np
+    img_dir = str(tmp_path / "imgs")
+    _write_images(img_dir)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", SIGNAL_CHILD, img_dir, out_dir],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(
+                "deadlock: a process did not exit after the stop signal")
+        outs.append((p.returncode, out, err))
+        assert p.returncode == 0 and f"CHILD_OK {pid}" in out, (
+            f"process {pid} rc={p.returncode}\nstdout:\n{out[-2000:]}\n"
+            f"stderr:\n{err[-3000:]}")
+    # both processes stopped at the SAME iteration (signal at it1=5 on
+    # p1 is gathered at it=5's start, acts at the end -> last it1 == 6)
+    lasts = [int(out.split("last_iter")[-1]) for _, out, _ in outs]
+    assert lasts[0] == lasts[1] == 6, lasts
+    # the SIGHUP (p1, it1=2) produced a rank-0 snapshot at it1=3, and the
+    # stop produced one at it1=6
+    snaps = sorted(glob.glob(os.path.join(out_dir, "*_iter_*.npz")))
+    iters = sorted(int(s.rsplit("_", 1)[1][:-4]) for s in snaps)
+    assert iters == [3, 6], snaps

@@ -107,16 +107,16 @@ def test_forward_wiring_equivalence():
     plain = dm.forward(params, jnp.asarray(x), spec,
                        valid_hw=(vh, vw), mask_mode="where")
     if INTERP:
-        # route the in-forward call through the interpreter
-        orig = ps.fused_stem
-        ps.fused_stem = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        # route the in-forward call through the interpreter (also opens
+        # detector.forward's TPU backend gate)
+        ps.TESTING_INTERPRET = True
     try:
         fused = dm.forward(params, jnp.asarray(x), spec,
                            valid_hw=(vh, vw), mask_mode="where",
                            pallas_stem=True)
     finally:
         if INTERP:
-            ps.fused_stem = orig
+            ps.TESTING_INTERPRET = False
     gh, gw = vh // 8, vw // 8
     np.testing.assert_allclose(
         np.asarray(fused["cls_logits"])[:, :gh, :gw],
@@ -307,13 +307,12 @@ def test_forward_grad_wiring(stem_weights):
     import smallhardface_tpu.ops.pallas_stem as ps
     g_plain = jax.grad(loss)(params, False)
     if INTERP:
-        orig = ps.fused_stem
-        ps.fused_stem = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        ps.TESTING_INTERPRET = True
     try:
         g_fused = jax.grad(loss)(params, True)
     finally:
         if INTERP:
-            ps.fused_stem = orig
+            ps.TESTING_INTERPRET = False
 
     flat_f = jax.tree_util.tree_leaves_with_path(g_fused)
     flat_p = dict(jax.tree_util.tree_leaves_with_path(g_plain))
@@ -346,14 +345,13 @@ def test_bf16_precision_path_uses_kernel():
     import smallhardface_tpu.ops.pallas_stem as ps
     plain = dm.forward(params, x, spec, compute_dtype=jnp.bfloat16)
     if INTERP:
-        orig = ps.fused_stem
-        ps.fused_stem = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        ps.TESTING_INTERPRET = True
     try:
         fused = dm.forward(params, x, spec, compute_dtype=jnp.bfloat16,
                            pallas_stem=True)
     finally:
         if INTERP:
-            ps.fused_stem = orig
+            ps.TESTING_INTERPRET = False
     a, b = np.asarray(fused["cls_logits"]), np.asarray(plain["cls_logits"])
     # both paths carry bf16 activation noise; agreement at the bf16 scale
     np.testing.assert_allclose(a, b, rtol=1e-1,
@@ -423,3 +421,35 @@ def test_spatial_stem_single_shard_mesh(stem_weights):
                                         interpret=INTERP))
     want = np.asarray(fused_stem(x, w1, b1, w2, b2, interpret=INTERP))
     np.testing.assert_array_equal(got, want)
+
+
+def test_flag_falls_back_silently_off_tpu():
+    """default.toml contract: 'Engages when fp32 + bucketed shapes ...
+    silently falls back otherwise.' On a non-TPU backend the Mosaic
+    kernel cannot lower, so with the flag on (the flagship config) and
+    no TESTING_INTERPRET escape hatch, detect() must take the XLA chain
+    — and produce the XLA path's detections — not crash in lowering."""
+    if not INTERP:
+        pytest.skip("TPU backend: the kernel genuinely engages")
+    import smallhardface_tpu.ops.pallas_stem as ps
+    from smallhardface_tpu.config import cfg
+    from smallhardface_tpu.detect import TPUDetector
+    assert ps.TESTING_INTERPRET is False
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TPU.PALLAS_STEM)
+    cfg.TEST.SCALES = [60]
+    cfg.TEST.FLIP = False
+    cfg.TPU.TEST_BUCKET = 64
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(7), spec)
+        im = (np.random.RandomState(8).uniform(0, 255, (96, 128, 3))
+              .astype(np.uint8))
+        cfg.TPU.PALLAS_STEM = True
+        with_flag = TPUDetector(params, spec).detect(im, thresh=0.05)[0][0]
+        cfg.TPU.PALLAS_STEM = False
+        without = TPUDetector(params, spec).detect(im, thresh=0.05)[0][0]
+        np.testing.assert_array_equal(with_flag, without)
+    finally:
+        (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+         cfg.TPU.PALLAS_STEM) = old

@@ -68,13 +68,10 @@ def test_spatial_mesh_uses_pallas_stem():
     cfg.TEST.FLIP = False
     cfg.TPU.TEST_BUCKET = 64
     cfg.TPU.PALLAS_STEM = True
-    orig = ps.fused_stem
-    ps.fused_stem = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    ps.TESTING_INTERPRET = True    # interpret kernels + open the TPU gate
     called = []
     orig_sp = ps.fused_stem_spatial
-    ps.fused_stem_spatial = (
-        lambda *a, **k: called.append(1) or
-        orig_sp(*a, **{**k, "interpret": True}))
+    ps.fused_stem_spatial = lambda *a, **k: called.append(1) or orig_sp(*a, **k)
     try:
         spec = dm.ModelSpec(different_dilation=True)
         params = dm.init_params(jax.random.PRNGKey(1), spec)
@@ -99,7 +96,7 @@ def test_spatial_mesh_uses_pallas_stem():
             assert d[j] < 0.1, (row, plain[j], d[j])
             taken[j] = True
     finally:
-        ps.fused_stem = orig
+        ps.TESTING_INTERPRET = False
         ps.fused_stem_spatial = orig_sp
         (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
          cfg.TPU.PALLAS_STEM) = old
