@@ -49,7 +49,13 @@ class DetectorService:
     # instead of a forever-blocked client
     REQUEST_TIMEOUT_S = 30 * 60
 
-    def __init__(self, params, spec, batch_window_ms=0, max_batch=2):
+    def __init__(self, params, spec, batch_window_ms=0, max_batch=2,
+                 calib_images=()):
+        """calib_images: image paths for one-time int8 activation-range
+        calibration (TPU.PRECISION='int8'); without them the service
+        runs dynamic per-tensor scales, which are ~2x slower and warned
+        about (the eval workers auto-calibrate; serving must be given
+        representative images explicitly)."""
         from smallhardface_tpu.config import cfg
         from smallhardface_tpu.detect import TPUDetector
         spatial_mesh = None
@@ -76,6 +82,15 @@ class DetectorService:
                     f"{len(local)} local devices")
             spatial_mesh = Mesh(np.array(local[:k]), (SPATIAL_AXIS,))
         self.det = TPUDetector(params, spec, spatial_mesh=spatial_mesh)
+        if self.det.compute_dtype == "int8":
+            if calib_images:
+                self.det.calibrate_int8(list(calib_images))
+            else:
+                logger.warning(
+                    "TPU.PRECISION='int8' without --calib-images: serving "
+                    "with dynamic per-tensor scales (~2x slower than the "
+                    "calibrated chained mode, PERF_NOTES); pass "
+                    "representative images to calibrate at startup")
         self._dispatch_lock = threading.Lock()
         self.batch_window = float(batch_window_ms) / 1e3
         self.max_batch = int(max_batch)
@@ -235,6 +250,10 @@ def main():
                    help="cross-client micro-batch window; 0 = per-request")
     p.add_argument("--max-batch", type=int, default=2,
                    help="images per batched dispatch (HBM bound)")
+    p.add_argument("--calib-images", nargs="*", default=[],
+                   help="representative images for one-time int8 "
+                        "activation calibration (TPU.PRECISION='int8'); "
+                        "omitting them serves the slower dynamic mode")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -251,7 +270,8 @@ def main():
     params = _load_params(spec)
     service = DetectorService(params, spec,
                               batch_window_ms=args.batch_window_ms,
-                              max_batch=args.max_batch)
+                              max_batch=args.max_batch,
+                              calib_images=args.calib_images)
     logger.info("warming up...")
     service.warmup()
     server = serve(service, args.host, args.port)

@@ -142,3 +142,33 @@ def test_spatial_serving_matches_plain():
     finally:
         (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
          cfg.TPU.SPATIAL_DEVICES) = old
+
+
+def test_int8_serving_calibrates_at_startup(tmp_path):
+    """TPU.PRECISION='int8' + --calib-images: the service builds a static
+    qstate at construction (the chained fast path) and serves; without
+    calib images it stays dynamic (warned) but still serves."""
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TPU.PRECISION, cfg.TPU.MASK_MODE)
+    cfg.TEST.SCALES = [48]
+    cfg.TEST.FLIP = False
+    cfg.TPU.TEST_BUCKET = 64
+    cfg.TPU.PRECISION = "int8"
+    cfg.TPU.MASK_MODE = "where"
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(0), spec)
+        im = np.random.RandomState(1).randint(0, 255, (60, 90, 3), np.uint8)
+        path = str(tmp_path / "calib.jpg")
+        cv2.imwrite(path, im)
+        body = cv2.imencode(".jpg", im)[1].tobytes()
+        svc = serve_mod.DetectorService(params, spec, calib_images=[path])
+        assert svc.det.qstate is not None
+        dets = svc.detect(body)
+        assert dets.ndim == 2 and dets.shape[1] == 5
+        dyn = serve_mod.DetectorService(params, spec)     # warned, dynamic
+        assert dyn.det.qstate is None
+        assert dyn.detect(body).shape[1] == 5
+    finally:
+        (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+         cfg.TPU.PRECISION, cfg.TPU.MASK_MODE) = old
