@@ -85,6 +85,28 @@ def main():
                       os.path.join(os.path.dirname(
                           os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Bounded backend init: a wedged axon tunnel blocks jax.devices()
+    # inside make_c_api_client indefinitely (observed >9 min at 0% CPU,
+    # 2026-08-18 outage) — without this the driver's bench run hangs and
+    # the round gets NO artifact. Healthy init is seconds (the 3-22 min
+    # tails live in warmup/readback, AFTER init), so 20 min is generous.
+    import threading
+    _init_done = threading.Event()
+
+    def _watchdog():
+        if not _init_done.wait(20 * 60):
+            print(json.dumps({
+                "metric": "eval_throughput", "value": 0.0,
+                "unit": "img/s/chip", "vs_baseline": 0.0,
+                "error": "TPU backend init did not complete within 20 min"
+                         " (axon tunnel wedged; see the verify skill) — "
+                         "no measurement taken",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    _init_done.set()
     from smallhardface_tpu.config import cfg, cfg_from_file
     conf = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "smallhardface_tpu", "configs", "smallhardface.toml")
