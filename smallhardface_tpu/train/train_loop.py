@@ -76,16 +76,16 @@ def get_training_roidb(imdb):
     return final
 
 
-def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
-                    momentum=0.9, compute_dtype=None, solver_type="SGD"):
-    """Build the jitted global train step. Compiled per (H, W, G) bucket."""
-    n_dev = mesh.devices.size
+def _make_loss_fn(spec, tc, compute_dtype, axis_name):
+    """One micro-batch's loss. axis_name = the shard_map data axis of the
+    DP step (varying-type annotations + the Pallas stem VJP need it), or
+    None when the caller runs under plain jit (the spatial step, where
+    the SPMD partitioner owns the sharding — a custom-VJP Pallas call
+    cannot be partitioned, so the stem kernel stays off there)."""
     base_anchors = anchors_mod.generate_anchors(
         base_size=16, ratios=[1],
         scales=list(detector_mod.ANCHOR_SCALES), shifts=[0],
         strides=[detector_mod.FEAT_STRIDE] * 3)
-    lr_mults, decay_mults = detector_mod.param_multipliers(spec)
-
     pixel_mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
 
     def loss_fn(params, out_shape, data, scl, crp, gt, gt_mask, im_hw,
@@ -118,8 +118,8 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
             # config ships the flag on, and CPU-mesh runs (tests,
             # PDB mode) must silently take the XLA stem instead
             pallas_stem=bool(cfg.TPU.PALLAS_STEM_TRAIN)
-            and jax.default_backend() == "tpu",
-            stem_vma=(DATA_AXIS,))
+            and jax.default_backend() == "tpu" and axis_name is not None,
+            stem_vma=(axis_name,) if axis_name else None)
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
         bg_prob = lax.stop_gradient(
@@ -128,7 +128,7 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
             bg_prob, base_anchors, gt, gt_mask,
             im_h=im_hw[0], im_w=im_hw[1],
             valid_h=valid_hw[0], valid_w=valid_hw[1], tc=tc,
-            axis_name=DATA_AXIS)
+            axis_name=axis_name)
         cls_loss = softmax_ce_with_ignore(
             logits.reshape(-1, 2), tgt["labels"])
         reg_loss = smooth_l1(
@@ -142,6 +142,16 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
             "n_fg": tgt["n_fg"],
         }
         return cls_loss + reg_loss, aux
+
+    return loss_fn
+
+
+def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
+                    momentum=0.9, compute_dtype=None, solver_type="SGD"):
+    """Build the jitted global train step. Compiled per (H, W, G) bucket."""
+    n_dev = mesh.devices.size
+    lr_mults, decay_mults = detector_mod.param_multipliers(spec)
+    loss_fn = _make_loss_fn(spec, tc, compute_dtype, DATA_AXIS)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True, argnums=0)
 
@@ -193,6 +203,72 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
         return new_params, new_state, metrics
 
     return step
+
+
+def make_train_step_spatial(spec, tc, sp_mesh, iter_size, *, weight_decay,
+                            momentum=0.9, compute_dtype=None,
+                            solver_type="SGD"):
+    """Train step with each image's H axis sharded across `sp_mesh` —
+    the resolution-scaling axis (SURVEY §5) applied to TRAINING, for
+    images whose activations exceed one chip's HBM. Where the DP step is
+    a shard_map over 'data', this is a plain jit with sharding
+    constraints (exactly like spatial inference): the SPMD partitioner
+    inserts the conv halo exchanges in the forward AND the transposed
+    backward, and grads of the replicated params come out replicated.
+    The anchor-target/OHEM selections (global top-k over the image)
+    partition the same way — no hand-written collectives.
+
+    Call signature and array layout match make_train_step with ONE data
+    rank: leading device axis of size 1, data (1, iter_size, H, W, 3)
+    with the ORIGINAL-image H divisible by the mesh size (train buckets
+    are ×32, so any power-of-two mesh qualifies). The Pallas stem
+    kernel stays off (a custom-VJP Pallas call cannot be partitioned).
+    Exceeds reference parity (the reference had no model/spatial
+    parallelism at all)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = sp_mesh.axis_names[0]
+    n_sp = sp_mesh.devices.size
+    lr_mults, decay_mults = detector_mod.param_multipliers(spec)
+    loss_fn = _make_loss_fn(spec, tc, compute_dtype, None)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True, argnums=0)
+    rep = NamedSharding(sp_mesh, P())
+    shard_h = NamedSharding(sp_mesh, P(None, None, axis))
+
+    def step_fn(params, opt_state, rate, iteration, out_shape, data, scl,
+                crp, gt, gt_mask, im_hw, valid_hw):
+        assert data.shape[2] % n_sp == 0, (
+            f"original-image bucket H={data.shape[2]} is not divisible "
+            f"by the {n_sp}-device spatial mesh")
+        data, scl, crp, gt = data[0], scl[0], crp[0], gt[0]
+        gt_mask, im_hw, valid_hw = gt_mask[0], im_hw[0], valid_hw[0]
+
+        def micro(gsum, xs):
+            (_, aux), g = grad_fn(params, out_shape, *xs)
+            return jax.tree_util.tree_map(jnp.add, gsum, g), aux
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        gsum, auxes = lax.scan(
+            micro, g0, (data, scl, crp, gt, gt_mask, im_hw, valid_hw))
+        grads = jax.tree_util.tree_map(lambda g: g / iter_size, gsum)
+        new_params, new_state = solver_mod.apply_update(
+            params, grads, opt_state, solver_type=solver_type, rate=rate,
+            lr_mults=lr_mults, decay_mults=decay_mults,
+            weight_decay=weight_decay, momentum=momentum,
+            iteration=iteration)
+        # (1, I) rows like the DP step's per-device metrics layout
+        metrics = {k: v[None] for k, v in auxes.items()}
+        return new_params, new_state, metrics
+
+    return jax.jit(
+        step_fn, donate_argnums=(0, 1), static_argnums=(4,),
+        in_shardings=(rep, rep, rep, rep, shard_h) + (rep,) * 6,
+        out_shardings=(rep, rep, rep))
+
+
+def _is_spatial_mesh(mesh):
+    from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+    return mesh is not None and tuple(mesh.axis_names) == (SPATIAL_AXIS,)
 
 
 def _snap(v, bucket):
@@ -305,14 +381,25 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         # PDB debugging mode: single device, like the reference's forced
         # single-GPU unforked training (configs/default.toml:12)
         mesh = make_mesh(1)
+    if mesh is None and int(cfg.TPU.SPATIAL_DEVICES) > 1:
+        # spatial training: every device works on ONE image's H shards
+        # (for resolutions whose activations exceed a chip's HBM); the
+        # loader feeds a single data rank
+        from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+        mesh = make_spatial_mesh(int(cfg.TPU.SPATIAL_DEVICES))
     mesh = mesh or make_mesh(int(cfg.TPU.NUM_DEVICES))
-    n_dev = mesh.devices.size
+    spatial = _is_spatial_mesh(mesh)
+    n_dev = 1 if spatial else mesh.devices.size
     # Multi-controller topology: each process feeds ONLY the mesh rows its
     # addressable devices own (jax.make_array_from_process_local_data);
     # the reference's analog contract is one data layer per NCCL rank
     # (lib/train.py:58-63, parallel.cpp:303-316).
     n_procs = jax.process_count()
     proc = jax.process_index()
+    if spatial and n_procs > 1:
+        raise NotImplementedError(
+            "spatial training is single-controller (one data rank); "
+            "unset TPU.SPATIAL_DEVICES for multi-host runs")
     if n_procs > 1:
         mesh_devs = list(mesh.devices.flat)
         local_ranks = [i for i, d in enumerate(mesh_devs)
@@ -357,7 +444,8 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         logger.info("Resumed from %s at iter %d", cfg.TRAIN.RESUME,
                     start_iter)
 
-    step = make_train_step(
+    step_maker = make_train_step_spatial if spatial else make_train_step
+    step = step_maker(
         spec, tc, mesh, iter_size,
         weight_decay=float(cfg.TRAIN.WEIGHT_DECAY),
         momentum=float(cfg.TRAIN.MOMENTUM),
