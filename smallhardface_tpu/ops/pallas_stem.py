@@ -388,9 +388,12 @@ def _grad_kernel(scal_ref, xp_ref, xc_ref, xn_ref, dyp_ref, dyc_ref,
                           xs_ref[:], 0.0)
 
     # ---- assemble dy pooled rows [i*HB-1, i*HB+HB+1) → (HB+2, 64, WB) ---
-    dy_ref[1:HB + 1] = jnp.transpose(dyc_ref[0], (1, 0, 2))
-    dy_ref[0:1] = jnp.transpose(dyp_ref[0, :, HB - 1:HB, :], (1, 0, 2))
-    dy_ref[HB + 1:HB + 2] = jnp.transpose(dyn_ref[0, :, 0:1, :], (1, 0, 2))
+    # dy arrives row-major (B, H/2, 64, W/2): the pooled-row dim must sit
+    # OUTSIDE the block's trailing two dims (Mosaic requires those to be
+    # (8,128)-divisible or full — HB=4 rows is neither)
+    dy_ref[1:HB + 1] = dyc_ref[0]
+    dy_ref[0:1] = dyp_ref[0, HB - 1:HB, :, :]
+    dy_ref[HB + 1:HB + 2] = dyn_ref[0, 0:1, :, :]
 
     @pl.when(i == 0)
     def _():
@@ -557,12 +560,12 @@ def _stem_grad_call(xcf, dycf, w1col, b1, w2taps_t, w2taps, b2, valid, *,
             pl.BlockSpec((1, 3, TH, W),
                          lambda b, i, s: (
                              b, 0, jnp.minimum(i + 1, n_i - 1), 0)),
-            pl.BlockSpec((1, 64, HB, W // 2),
-                         lambda b, i, s: (b, 0, jnp.maximum(i - 1, 0), 0)),
-            pl.BlockSpec((1, 64, HB, W // 2), lambda b, i, s: (b, 0, i, 0)),
-            pl.BlockSpec((1, 64, HB, W // 2),
+            pl.BlockSpec((1, HB, 64, W // 2),
+                         lambda b, i, s: (b, jnp.maximum(i - 1, 0), 0, 0)),
+            pl.BlockSpec((1, HB, 64, W // 2), lambda b, i, s: (b, i, 0, 0)),
+            pl.BlockSpec((1, HB, 64, W // 2),
                          lambda b, i, s: (
-                             b, 0, jnp.minimum(i + 1, n_i - 1), 0)),
+                             b, jnp.minimum(i + 1, n_i - 1), 0, 0)),
             pl.BlockSpec((64, 32), lambda b, i, s: (0, 0)),
             pl.BlockSpec((64, 1), lambda b, i, s: (0, 0)),
             pl.BlockSpec((9, 64, 64), lambda b, i, s: (0, 0, 0)),
@@ -625,7 +628,9 @@ def _stem_op_fwd(x, w1, b1, w2, b2, valid, interpret, vma):
 def _stem_op_bwd(interpret, vma, res, dy):
     x, w1, b1, w2, b2, valid = res
     xcf = jnp.transpose(x, (0, 3, 1, 2))
-    dycf = jnp.transpose(dy, (0, 3, 1, 2))
+    # (B, H/2, 64, W/2): keep the pooled-row dim leading so the grad
+    # kernel's halo blocks stay off the (8,128)-constrained trailing dims
+    dycf = jnp.transpose(dy, (0, 1, 3, 2))
     w1col, b1c, w2taps_t, b2c = prep_weights(w1, b1, w2, b2)
     w2taps = jnp.reshape(w2, (9, 64, 64))            # (ci, co) per tap
     dw1, db1, dw2, db2 = _stem_grad_call(

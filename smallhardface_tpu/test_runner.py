@@ -145,6 +145,36 @@ def inference_worker(rank, device, imdb, params, spec, start, end, thresh):
     return rank, dets
 
 
+def _process_range(n_total):
+    """Contiguous image block owned by this controller — the multi-host
+    analog of the reference's worker sharding (lib/test.py:319-344
+    sharded images over forked GPU workers and reordered via a Queue;
+    here processes own blocks and an allgather reorders)."""
+    n_procs = jax.process_count()
+    per = int(np.ceil(n_total / max(n_procs, 1)))
+    p0 = per * jax.process_index()
+    return min(p0, n_total), min(p0 + per, n_total)
+
+
+def _allgather_detections(dets_local, num_classes):
+    """Exchange each process's detection block; every controller returns
+    the full imdb-ordered list. Detections are ragged → pickle to bytes,
+    pad to the global max, one allgather (+ one for the lengths)."""
+    from jax.experimental import multihost_utils
+    payload = np.frombuffer(
+        pickle.dumps(dets_local, pickle.HIGHEST_PROTOCOL), np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64))
+    lens = np.asarray(lens).reshape(-1)
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[:payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    parts = [pickle.loads(gathered[p, :int(lens[p])].tobytes())
+             for p in range(len(lens))]
+    return [[im_dets for part in parts for im_dets in part[c]]
+            for c in range(num_classes)]
+
+
 def run_inference(imdb, params, spec, thresh):
     devices = jax.local_devices()
     k = int(cfg.TPU.SPATIAL_DEVICES)
@@ -161,25 +191,35 @@ def run_inference(imdb, params, spec, thresh):
                  for g in range(len(devices) // k)]
     else:
         units = devices
-    n_workers = max(1, min(len(units), len(imdb)))
-    len_per = int(np.ceil(len(imdb) / n_workers))
-    shards = [(r, units[r], len_per * r, min(len_per * (r + 1), len(imdb)))
+    # multi-controller: this process evaluates only its contiguous block;
+    # the allgather below restores full imdb order on every process
+    p_start, p_end = _process_range(len(imdb))
+    n_images = p_end - p_start
+    n_workers = max(1, min(len(units), n_images))
+    len_per = int(np.ceil(max(n_images, 1) / n_workers))
+    shards = [(r, units[r], p_start + len_per * r,
+               min(p_start + len_per * (r + 1), p_end))
               for r in range(n_workers)]
-    if n_workers == 1:
-        results = [inference_worker(0, units[0], imdb, params, spec,
-                                    0, len(imdb), thresh)]
-    else:
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+    shards = [s for s in shards if s[3] > s[2]]
+    if len(shards) == 1:
+        results = [inference_worker(0, shards[0][1], imdb, params, spec,
+                                    shards[0][2], shards[0][3], thresh)]
+    elif shards:
+        with ThreadPoolExecutor(max_workers=len(shards)) as pool:
             futs = [
                 pool.submit(inference_worker, r, d, imdb, params, spec,
                             s, e, thresh)
                 for r, d, s, e in shards
             ]
             results = [f.result() for f in futs]
+    else:
+        results = []    # more processes than images: empty local block
     results.sort(key=lambda x: x[0])
-    dets = [[im_dets for _, shard in results for im_dets in shard[c]]
-            for c in range(imdb.num_classes)]
-    return dets
+    dets_local = [[im_dets for _, shard in results for im_dets in shard[c]]
+                  for c in range(imdb.num_classes)]
+    if jax.process_count() == 1:
+        return dets_local
+    return _allgather_detections(dets_local, imdb.num_classes)
 
 
 def demo(params, spec, thresh):
@@ -214,6 +254,10 @@ def get_testing_roidb(imdb):
 
 def test_net(imdb, output_dir, thresh=0.05, no_cache=False, step=0,
              params=None, spec=None):
+    # pod launches reach eval without a prior training mesh: pick up the
+    # env-driven multi-controller init here too (no-op on single host)
+    from smallhardface_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
     if cfg.TEST.LEVEL:
         # The shipped templates emit one proposal module; per-level
         # selection (lib/test.py:71-75) only applies to multi-module
@@ -229,9 +273,16 @@ def test_net(imdb, output_dir, thresh=0.05, no_cache=False, step=0,
         return demo(params, spec, thresh)
     logger.info("Evaluating %s on %s", cfg.NAME, imdb.name)
 
+    # Multi-controller: process 0 is the single reader/writer of
+    # detections.pkl and the single evaluator (the reference's parent
+    # process gathered worker queues and wrote once, lib/test.py:319-358);
+    # every process must agree on whether inference runs, or the ranks
+    # that skip it deadlock the others in the detection allgather.
+    n_procs = jax.process_count()
+    proc = jax.process_index()
     dets = None
     det_file = os.path.join(output_dir, "detections.pkl")
-    if not no_cache and os.path.exists(det_file):
+    if proc == 0 and not no_cache and os.path.exists(det_file):
         try:
             with open(det_file, "rb") as f:
                 dets = pickle.load(f)
@@ -239,14 +290,23 @@ def test_net(imdb, output_dir, thresh=0.05, no_cache=False, step=0,
         except Exception:
             logger.warning("Could not load the cached detections file, "
                            "detecting from scratch!")
+    cache_hit = dets is not None
+    if n_procs > 1:
+        from jax.experimental import multihost_utils
+        cache_hit = bool(np.asarray(multihost_utils.broadcast_one_to_all(
+            np.array([cache_hit], np.int32))).reshape(-1)[0])
 
-    if dets is None:
+    if not cache_hit:
         dets = run_inference(imdb, params, spec, thresh)
         assert len(dets[0]) == len(imdb), "Detection result compromised"
-        if not no_cache:
+        if proc == 0 and not no_cache:
             with open(det_file, "wb") as f:
                 pickle.dump(dets, f, pickle.HIGHEST_PROTOCOL)
 
+    if proc != 0:
+        logger.info("Process %d: detections gathered to rank 0; skipping "
+                    "cache write and evaluation (single-writer)", proc)
+        return None
     logger.info("Evaluating detections")
     result = imdb.evaluate_detections(
         all_boxes=dets, output_dir=output_dir, method_name=cfg.NAME,

@@ -190,7 +190,9 @@ class RoIDataLoader:
 
         Caveat: easy-image marks applied by the main thread AFTER the
         train loop captured this snapshot (they land between the capture
-        and the snapshot write) are not included; they only influence
+        and the snapshot write — under the round-4 pipelined loop, marks
+        for iterations N-1 AND N, since metrics are processed one step
+        behind the dispatch) are not included; they only influence
         epoch-boundary reshuffles, so the replayed stream can diverge at
         the first epoch boundary after resume when mining is enabled."""
         import copy

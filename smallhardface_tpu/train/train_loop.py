@@ -53,6 +53,24 @@ logger = logging.getLogger(__name__)
 
 BUCKET = 128  # spatial padding granularity for train shape reuse
 
+# metric layout of the packed per-step metrics array (see _pack_metrics):
+# one (n_dev, K, iter_size) float32 array instead of a dict of five —
+# each np.asarray on a separate device array pays a full tunnel RTT
+# (~29 ms; the dict readback measured 89.6 ms, tools/train_time.py), so
+# the loop reads ONE array per iteration
+METRIC_KEYS = ("cls_loss", "reg_loss", "accuracy", "easy", "n_fg")
+
+_pack_metrics = jax.jit(lambda m: jnp.stack(
+    [m[k].astype(jnp.float32) for k in METRIC_KEYS], axis=1))
+
+
+def _unpack_metrics(arr):
+    """(n_dev, K, iter_size) float32 → the metrics dict (easy back to
+    bool for the mining feedback)."""
+    out = {k: arr[:, j] for j, k in enumerate(METRIC_KEYS)}
+    out["easy"] = out["easy"] > 0.5
+    return out
+
 
 def get_training_roidb(imdb):
     """Flip-augment, prepare, and filter the roidb
@@ -76,12 +94,37 @@ def get_training_roidb(imdb):
     return final
 
 
-def _make_loss_fn(spec, tc, compute_dtype, axis_name):
+def preprocess_image(data, scl, crp, im_hw, out_shape, pixel_mean):
+    """Fused device-side training preprocess: data is the distorted uint8
+    ORIGINAL (edge-padded); the resize to the training scale and the
+    random crop fuse into one scale_and_translate (cv2 fx-sampling
+    convention, translation = -crop offset). Mean subtraction follows on
+    device; the region beyond the final (im_h, im_w) extent zeroes out to
+    match the reference's post-mean zero padding (minibatch.py:47-53)."""
+    hb, wb = out_shape
+    img = data.astype(jnp.float32)
+    resized = jax.image.scale_and_translate(
+        img, (hb, wb, 3), (0, 1),
+        scale=jnp.stack([scl, scl]),
+        translation=-crp.astype(jnp.float32),
+        method="linear", antialias=False)
+    ys = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+    inside = ((ys[..., None] < im_hw[0]) & (xs[..., None] < im_hw[1]))
+    return jnp.where(inside, resized - pixel_mean, 0.0)
+
+
+def _make_loss_fn(spec, tc, compute_dtype, axis_name, stop_at=None):
     """One micro-batch's loss. axis_name = the shard_map data axis of the
     DP step (varying-type annotations + the Pallas stem VJP need it), or
     None when the caller runs under plain jit (the spatial step, where
     the SPMD partitioner owns the sharding — a custom-VJP Pallas call
-    cannot be partitioned, so the stem kernel stays off there)."""
+    cannot be partitioned, so the stem kernel stays off there).
+
+    stop_at truncates the computation for the train-time bisection probe
+    (tools/train_time.py): "preproc" returns after the fused device
+    preprocess, "forward" after the detector forward — each as a scalar
+    sum so XLA cannot dead-code the stage."""
     base_anchors = anchors_mod.generate_anchors(
         base_size=16, ratios=[1],
         scales=list(detector_mod.ANCHOR_SCALES), shifts=[0],
@@ -90,23 +133,9 @@ def _make_loss_fn(spec, tc, compute_dtype, axis_name):
 
     def loss_fn(params, out_shape, data, scl, crp, gt, gt_mask, im_hw,
                 valid_hw):
-        # data is the distorted uint8 ORIGINAL (edge-padded); the resize to
-        # the training scale and the random crop fuse into one
-        # scale_and_translate (cv2 fx-sampling convention, translation =
-        # -crop offset). Mean subtraction follows on device; the region
-        # beyond the final (im_h, im_w) extent zeroes out to match the
-        # reference's post-mean zero padding (minibatch.py:47-53).
-        hb, wb = out_shape
-        img = data.astype(jnp.float32)
-        resized = jax.image.scale_and_translate(
-            img, (hb, wb, 3), (0, 1),
-            scale=jnp.stack([scl, scl]),
-            translation=-crp.astype(jnp.float32),
-            method="linear", antialias=False)
-        ys = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
-        xs = lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
-        inside = ((ys[..., None] < im_hw[0]) & (xs[..., None] < im_hw[1]))
-        x = jnp.where(inside, resized - pixel_mean, 0.0)
+        x = preprocess_image(data, scl, crp, im_hw, out_shape, pixel_mean)
+        if stop_at == "preproc":
+            return x.sum(), {}
         out = detector_mod.forward(
             params, x[None], spec, compute_dtype=compute_dtype,
             valid_hw=(valid_hw[0] * detector_mod.FEAT_STRIDE,
@@ -122,6 +151,8 @@ def _make_loss_fn(spec, tc, compute_dtype, axis_name):
             stem_vma=(axis_name,) if axis_name else None)
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
+        if stop_at == "forward":
+            return logits.sum() + deltas.sum(), {}
         bg_prob = lax.stop_gradient(
             jax.nn.softmax(logits, axis=-1)[..., 0])
         tgt = targets_mod.anchor_targets(
@@ -516,7 +547,15 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                     for r in range(n_local)]
             samples = [s for f in futs for s in f.result()]
         if n_procs == 1:
-            return assemble_batch(samples, n_local, iter_size, gt_buckets)
+            arrays, im_idx, bucket = assemble_batch(
+                samples, n_local, iter_size, gt_buckets)
+            # upload from the prefetch thread: H2D of the uint8 originals
+            # (~30 MB/s through the tunnel — serialized it dominates the
+            # iteration wall, tools/train_time.py) overlaps the previous
+            # step's compute; device_put is thread-safe and the arrays
+            # are consumed by the next step dispatch on the main thread
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            return arrays, im_idx, bucket
         # multi-host: bucket dims need a cross-process max (a collective);
         # issue it from the MAIN thread between steps, never from the
         # prefetch thread, so collective order is identical on every
@@ -588,6 +627,51 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     # template's average_loss (models/solver_template.prototxt:7,
     # caffe solver.cpp:474 UpdateSmoothedLoss)
     loss_window = deque(maxlen=100)
+    # Depth-1 software pipeline (measured in tools/train_time.py /
+    # PERF_NOTES r4): step N's dispatch is issued BEFORE step N-1's
+    # metrics are read back, so the D2H readback (~1 tunnel RTT) and the
+    # prefetch thread's H2D upload of batch N+1 both overlap step N's
+    # compute. Consequence: mining feedback and loss logging run one
+    # iteration behind the dispatch (marks were already only consumed at
+    # epoch reshuffle; the resume caveat in loader.py widens by one
+    # iteration). Processing the deferred record is also the pipeline
+    # throttle — it blocks until step N-1 is done, so the host can never
+    # run more than one step ahead (bounded device memory).
+    deferred = None          # (it1, device metrics, im_idx, rate, bucket)
+
+    def process_metrics(rec):
+        it1, metrics_dev, m_idx, m_rate, m_bucket = rec
+        metrics = _unpack_metrics(_local_rows(metrics_dev))
+        # hard-image mining feedback
+        if cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE:
+            easy = metrics["easy"].reshape(-1)
+            for k, flag in enumerate(easy):
+                if flag:
+                    d, _ = divmod(k, iter_size)
+                    loaders[d].mark_easy(m_idx[k])
+        loss_window.append(float(metrics["cls_loss"].mean()) +
+                           float(metrics["reg_loss"].mean()))
+        if it1 % 20 == 0 or it1 == max_iter or it1 == start_iter + 1:
+            cls_l = float(metrics["cls_loss"].mean())
+            reg_l = float(metrics["reg_loss"].mean())
+            smoothed = sum(loss_window) / len(loss_window)
+            acc = float(metrics["accuracy"].mean())
+            eta = int((max_iter - it1) * t.average_time)
+            logger.info(
+                "iter %d/%d cls_loss: %.5f reg_loss: %.5f "
+                "smoothed_loss: %.5f accuracy: %.5f "
+                "lr: %.2e bucket: %s speed: %.3f iter/s ETA: %s",
+                it1, max_iter, cls_l, reg_l, smoothed, acc, m_rate,
+                m_bucket, 1.0 / max(t.average_time, 1e-9),
+                str(datetime.timedelta(seconds=eta)))
+            tb.sess.add_scalar_value("cls_loss", cls_l, step=it1)
+            tb.sess.add_scalar_value("reg_loss", reg_l, step=it1)
+            tb.sess.add_scalar_value("target_layer_accuracy", acc, step=it1)
+            tb.sess.add_scalar_value("speed", 1.0 / max(t.average_time,
+                                                        1e-9), step=it1)
+            tb.sess.add_scalar_value("ETA (min)", eta / 60.0, step=it1)
+        if progress_hook is not None:
+            progress_hook(it1, metrics)
 
     for it in range(start_iter, max_iter):
         t.tic()
@@ -600,23 +684,23 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             pending = prefetch.submit(build_batch, it + 1)
         rate = solver_mod.learning_rate(it, cfg)
         out_shape = (bucket[2], bucket[3])        # (hb, wb)
-        params, opt_state, metrics = step(
+        if n_procs == 1:
+            dev_args = (batch["data"], batch["scale"], batch["crop"],
+                        batch["gt"], batch["gt_mask"], batch["im_hw"],
+                        batch["valid_hw"])       # uploaded by the prefetch
+        else:
+            dev_args = tuple(put(batch[k]) for k in (
+                "data", "scale", "crop", "gt", "gt_mask", "im_hw",
+                "valid_hw"))
+        params, opt_state, metrics_dev = step(
             params, opt_state, np.float32(rate), np.int32(it), out_shape,
-            put(batch["data"]), put(batch["scale"]),
-            put(batch["crop"]), put(batch["gt"]),
-            put(batch["gt_mask"]), put(batch["im_hw"]),
-            put(batch["valid_hw"]))
-        metrics = {k: _local_rows(v) for k, v in metrics.items()}
-        t.toc()
+            *dev_args)
+        metrics_dev = _pack_metrics(metrics_dev)   # one D2H array, not 5
         it1 = it + 1
-
-        # hard-image mining feedback
-        if cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE:
-            easy = metrics["easy"].reshape(-1)
-            for k, flag in enumerate(easy):
-                if flag:
-                    d, _ = divmod(k, iter_size)
-                    loaders[d].mark_easy(im_idx[k])
+        if deferred is not None:
+            process_metrics(deferred)
+        deferred = (it1, metrics_dev, im_idx, rate, bucket)
+        t.toc()
 
         # under multi-host, only the allgather-agreed flags drive actions
         # (local flags are shipped to the peers in finish_batch first)
@@ -652,33 +736,12 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                     osp.join(output_dir, "final.caffemodel"),
                     jax.device_get(params))
 
-        loss_window.append(float(metrics["cls_loss"].mean()) +
-                           float(metrics["reg_loss"].mean()))
-        if it1 % 20 == 0 or it1 == max_iter or it == start_iter:
-            cls_l = float(metrics["cls_loss"].mean())
-            reg_l = float(metrics["reg_loss"].mean())
-            smoothed = sum(loss_window) / len(loss_window)
-            acc = float(metrics["accuracy"].mean())
-            eta = int((max_iter - it1) * t.average_time)
-            logger.info(
-                "iter %d/%d cls_loss: %.5f reg_loss: %.5f "
-                "smoothed_loss: %.5f accuracy: %.5f "
-                "lr: %.2e bucket: %s speed: %.3f iter/s ETA: %s",
-                it1, max_iter, cls_l, reg_l, smoothed, acc, rate, bucket,
-                1.0 / max(t.average_time, 1e-9),
-                str(datetime.timedelta(seconds=eta)))
-            tb.sess.add_scalar_value("cls_loss", cls_l, step=it1)
-            tb.sess.add_scalar_value("reg_loss", reg_l, step=it1)
-            tb.sess.add_scalar_value("target_layer_accuracy", acc, step=it1)
-            tb.sess.add_scalar_value("speed", 1.0 / max(t.average_time,
-                                                        1e-9), step=it1)
-            tb.sess.add_scalar_value("ETA (min)", eta / 60.0, step=it1)
-        if progress_hook is not None:
-            progress_hook(it1, metrics)
         if eff["stop"]:
             logger.warning("Stopping at iteration %d on signal", it1)
             break
 
+    if deferred is not None:
+        process_metrics(deferred)     # flush the pipelined last iteration
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
     prefetch.shutdown(wait=False)

@@ -315,12 +315,131 @@ def test_two_process_signal_agreement(tmp_path):
         assert p.returncode == 0 and f"CHILD_OK {pid}" in out, (
             f"process {pid} rc={p.returncode}\nstdout:\n{out[-2000:]}\n"
             f"stderr:\n{err[-3000:]}")
-    # both processes stopped at the SAME iteration (signal at it1=5 on
-    # p1 is gathered at it=5's start, acts at the end -> last it1 == 6)
+    # both processes stopped at the SAME iteration. Timing under the
+    # depth-1 pipelined loop (round 4): the hook for it1=X fires during
+    # loop iteration it=X (metrics are processed one step behind the
+    # dispatch), so the signal raised at hook(it1=5) lands during it=5,
+    # is gathered at it=6's start, and acts at the end of it1=7.
     lasts = [int(out.split("last_iter")[-1]) for _, out, _ in outs]
-    assert lasts[0] == lasts[1] == 6, lasts
-    # the SIGHUP (p1, it1=2) produced a rank-0 snapshot at it1=3, and the
-    # stop produced one at it1=6
+    assert lasts[0] == lasts[1] == 7, lasts
+    # the SIGHUP (hook it1=2 → raised during it=2, gathered at it=3)
+    # produced a rank-0 snapshot at it1=4; the stop produced one at it1=7
     snaps = sorted(glob.glob(os.path.join(out_dir, "*_iter_*.npz")))
     iters = sorted(int(s.rsplit("_", 1)[1][:-4]) for s in snaps)
-    assert iters == [3, 6], snaps
+    assert iters == [4, 7], snaps
+
+
+EVAL_CHILD = r"""
+import os
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+img_dir, out_dir = sys.argv[1], sys.argv[2]
+
+from smallhardface_tpu.parallel import mesh as pm
+pm.maybe_init_distributed()
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu import test_runner
+
+cfg.TEST.SCALES = [50, 90]
+cfg.TEST.FLIP = True
+cfg.TPU.TEST_BUCKET = 64
+cfg.TEST.N_DETS_PER_MODULE = 100
+cfg.MODEL.DIFFERENT_DILATION.ENABLE = True
+
+
+class FakeImdb:
+    def __init__(self, paths):
+        self._paths = paths
+
+    def __len__(self):
+        return len(self._paths)
+
+    @property
+    def num_classes(self):
+        return 2
+
+    @property
+    def name(self):
+        return "fake"
+
+    def image_path_at(self, i):
+        return self._paths[i]
+
+    def evaluate_detections(self, all_boxes, output_dir=None,
+                            method_name="x", step=0):
+        return "ok"
+
+
+spec = dm.ModelSpec(different_dilation=True)
+params = dm.init_params(jax.random.PRNGKey(0), spec)
+imdb = FakeImdb([os.path.join(img_dir, f"t{i}.jpg") for i in range(5)])
+res = test_runner.test_net(imdb, out_dir, thresh=0.05, no_cache=False,
+                           params=params, spec=spec)
+# rank 0 is the single evaluator/writer; other ranks return None
+if jax.process_index() == 0:
+    assert res == "ok", res
+else:
+    assert res is None, res
+print(f"CHILD_OK {jax.process_index()}")
+"""
+
+
+def test_two_process_eval_matches_single_process(tmp_path):
+    """Multi-host evaluation (VERDICT r3 item 2, the TPU analog of the
+    reference's worker sharding /root/reference/lib/test.py:319-344):
+    2 processes × 4 devices shard the imdb, detections allgather to every
+    controller, rank 0 alone writes detections.pkl and evaluates. The
+    pkl must equal the single-process run's array for array."""
+    import pickle
+    import numpy as np
+    import cv2
+    img_dir = str(tmp_path / "imgs")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        cv2.imwrite(os.path.join(img_dir, f"t{i}.jpg"),
+                    rng.randint(0, 255, (70, 90, 3), dtype=np.uint8))
+
+    def run(n_procs, label):
+        out_dir = str(tmp_path / label)
+        os.makedirs(out_dir, exist_ok=True)
+        port = _free_port()
+        procs = []
+        for pid in range(n_procs):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                                f"{8 // n_procs}")
+            if n_procs > 1:
+                env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+                env["JAX_NUM_PROCESSES"] = str(n_procs)
+                env["JAX_PROCESS_ID"] = str(pid)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", EVAL_CHILD, img_dir, out_dir],
+                cwd=REPO, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        for pid, p in enumerate(procs):
+            try:
+                out, err = p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0 and f"CHILD_OK {pid}" in out, (
+                f"{label} process {pid} rc={p.returncode}\n"
+                f"stdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}")
+        with open(os.path.join(out_dir, "detections.pkl"), "rb") as f:
+            return pickle.load(f)
+
+    single = run(1, "single")
+    multi = run(2, "multi")
+    assert len(single) == len(multi) == 2
+    assert len(single[1]) == len(multi[1]) == 5
+    for i, (a, b) in enumerate(zip(single[1], multi[1])):
+        np.testing.assert_array_equal(
+            a, b, err_msg=f"image {i}: multi-host detections diverged")
