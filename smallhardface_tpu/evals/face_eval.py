@@ -80,13 +80,22 @@ def voc_ap(rec, prec):
 
 
 def read_detections(path):
+    """Our writer format AND the marcopede kit's published baseline files
+    (detections/{AFW,PASCAL}/*.txt: `name.jpg score x1 y1 x2 y2`) — image
+    ids are normalized by stripping a trailing image extension so both
+    match the ground-truth ids."""
     dets = []
     with open(path) as f:
         for line in f:
             parts = line.split()
             if len(parts) < 6:
                 continue
-            dets.append((parts[0], float(parts[1]), float(parts[2]),
+            img = parts[0]
+            for ext in (".jpg", ".jpeg", ".png"):
+                if img.lower().endswith(ext):
+                    img = img[:-len(ext)]
+                    break
+            dets.append((img, float(parts[1]), float(parts[2]),
                          float(parts[3]), float(parts[4]), float(parts[5])))
     return dets
 
@@ -98,7 +107,12 @@ def read_gt(path):
             parts = line.split()
             if len(parts) < 5:
                 continue
-            boxes, diff = gt[parts[0]]
+            img = parts[0]
+            for ext in (".jpg", ".jpeg", ".png"):
+                if img.lower().endswith(ext):
+                    img = img[:-len(ext)]
+                    break
+            boxes, diff = gt[img]
             boxes.append([float(v) for v in parts[1:5]])
             diff.append(bool(int(parts[5])) if len(parts) > 5 else False)
     return {k: (np.asarray(b, np.float64), np.asarray(d, bool))
@@ -111,20 +125,43 @@ def main():
     p.add_argument("--gt", required=True)
     p.add_argument("--iou", type=float, default=0.5)
     p.add_argument("--plot", default="")
+    p.add_argument("--baselines", default="",
+                   help="directory of published baseline detection files "
+                        "(the marcopede kit ships them under detections/"
+                        "{AFW,PASCAL}/*.txt); each is scored against the "
+                        "same ground truth and overlaid on the PR plot, "
+                        "like the kit's plot_AP.py")
     args = p.parse_args()
-    rec, prec, ap = voc_pr(read_gt(args.gt), read_detections(args.det),
-                           args.iou)
+    gt = read_gt(args.gt)
+    rec, prec, ap = voc_pr(gt, read_detections(args.det), args.iou)
     print(f"AP@{args.iou}: {ap:.4f}  (max recall {rec[-1] if len(rec) else 0:.4f})")
+    curves = [("ours", rec, prec, ap)]
+    if args.baselines:
+        import glob
+        import os
+        for fn in sorted(glob.glob(os.path.join(args.baselines, "*.txt"))):
+            label = os.path.splitext(os.path.basename(fn))[0]
+            b_rec, b_prec, b_ap = voc_pr(gt, read_detections(fn), args.iou)
+            print(f"  baseline {label}: AP@{args.iou} = {b_ap:.4f}")
+            curves.append((label, b_rec, b_prec, b_ap))
     if args.plot:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        plt.plot(rec, prec)
-        plt.xlabel("recall")
-        plt.ylabel("precision")
-        plt.title(f"AP = {ap:.4f}")
-        plt.grid(True)
-        plt.savefig(args.plot, dpi=120)
+        fig, ax = plt.subplots(figsize=(8, 7))
+        # best first, ours drawn on top — the kit's presentation
+        curves.sort(key=lambda c: -c[3])
+        for label, r, pcurve, a in curves:
+            kw = ({"color": "green", "linewidth": 2.5, "zorder": 50}
+                  if label == "ours" else {"linewidth": 1.5})
+            ax.plot(r, pcurve, label=f"{label} (AP {100 * a:.1f})", **kw)
+        ax.set_xlabel("Recall", fontsize=14)
+        ax.set_ylabel("Precision", fontsize=14)
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.grid(True)
+        ax.legend(loc="lower left", fontsize=10)
+        fig.savefig(args.plot, dpi=120, bbox_inches="tight")
         print(f"PR curve written to {args.plot}")
 
 
