@@ -173,6 +173,8 @@ class TPUDetector:
         merged_cap = int(cfg.TPU.MERGED_DET_CAP)
         vote_cap = self.vote_cap
 
+        serial = bool(cfg.TPU.LEVEL_SERIAL)
+
         def run(params, qstate, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
                 score_thresh, final_thresh, nms_thresh):
             # per-level traced scalars arrive as stacked (L,) arrays
@@ -180,6 +182,19 @@ class TPUDetector:
             all_boxes, all_scores = [], []
             for li, (hb, wb) in enumerate(level_buckets):
                 sc = 1.0 / inv_fx[li]
+                if serial and li > 0:
+                    # Serialize the levels: tie this level's first op to the
+                    # previous level's (tiny) outputs so the scheduler cannot
+                    # interleave independent levels — the previous level's
+                    # activations are dead before this one starts, and the
+                    # buffer allocator reuses them. Peak HBM becomes
+                    # max-over-levels instead of sum-over-levels (the ~5 GB
+                    # /image pyramid peak that capped detect_many at B=2).
+                    # optimization_barrier is the identity: detections are
+                    # bit-identical (tests/test_detect_many.py).
+                    sc, all_boxes[-1], all_scores[-1] = (
+                        lax.optimization_barrier(
+                            (sc, all_boxes[-1], all_scores[-1])))
                 resized = jax.image.scale_and_translate(
                     img, (hb, wb, 3), (0, 1),
                     scale=jnp.stack([sc, sc]),
@@ -461,7 +476,8 @@ class TPUDetector:
         vote_method = str(cfg.TEST.NMS_METHOD) if self.device_vote else None
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP),
                vote_method, mask_mode, bool(cfg.TPU.S2D_STEM),
-               bool(cfg.TPU.PALLAS_STEM), self.qstate is not None)
+               bool(cfg.TPU.PALLAS_STEM), self.qstate is not None,
+               bool(cfg.TPU.LEVEL_SERIAL))
         return {
             "padded": padded,
             "key": key,

@@ -93,3 +93,29 @@ def test_detect_many_honors_host_preproc(rng, many_cfg, caplog):
             det.detect_many(ims, thresh=0.05, score_thresh=0.1)
     finally:
         cfg.TPU.HOST_PREPROC = old
+
+
+def test_level_serial_bit_identical(rng, many_cfg):
+    """TPU.LEVEL_SERIAL inserts optimization_barriers between pyramid
+    levels (scheduler serialization so the buffer allocator reuses level
+    activations — the HBM lever that unlocks detect_many max_batch=4 on a
+    16 GB v5e). Barriers are identity ops: detections must be BIT-identical
+    with the flag on and off, for a multi-level pyramid with flip TTA."""
+    cfg.TEST.SCALES = [48, 96]
+    old_base = cfg.TEST.PYRAMID_BASE_SIZE
+    cfg.TEST.PYRAMID_BASE_SIZE = [48, 96]
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(2), spec)
+    im = rng.randint(0, 255, (50, 60, 3)).astype(np.uint8)
+    old = cfg.TPU.LEVEL_SERIAL
+    outs = {}
+    try:
+        for serial in (True, False):
+            cfg.TPU.LEVEL_SERIAL = serial
+            outs[serial] = TPUDetector(params, spec).detect(
+                im, thresh=0.05)[0][0]
+    finally:
+        cfg.TPU.LEVEL_SERIAL = old
+        cfg.TEST.PYRAMID_BASE_SIZE = old_base
+    assert outs[True].shape[0] > 0
+    np.testing.assert_array_equal(outs[True], outs[False])
