@@ -256,19 +256,19 @@ def main():
     pipelined = max(p1, p2)
 
     # ---- batched pass: same-size images share one dispatch (detect_many;
-    # max_batch=2 keeps the 5-level ×flip pyramid inside a v5e's 16 GB HBM)
+    # B=4 peaks 4.9 GiB of a v5e's 16 GB at WIDER shapes — hbm_probe.py)
     by_shape = {}
     for im in imgs:
         by_shape.setdefault(im.shape, []).append(im)
     # warm the batched programs, then time (best of two passes, as above)
     for group in by_shape.values():
-        det.detect_many(group, thresh=0.05, max_batch=2)
+        det.detect_many(group, thresh=0.05, max_batch=4)
 
     def batched_pass():
         t0 = time.time()
         nb = 0
         for group in by_shape.values():
-            det.detect_many(group, thresh=0.05, max_batch=2)
+            det.detect_many(group, thresh=0.05, max_batch=4)
             nb += len(group)
         return nb / (time.time() - t0) / max(n_chips, 1)
 

@@ -4,9 +4,12 @@ Compile-time memory analysis (no allocation, no OOM risk) of the batched
 detect_many program at WIDER shapes, for batch 1/2/4 with TPU.LEVEL_SERIAL
 on and off — then a timed detect_many pass at the largest batch that fits.
 
-The level-serialization barriers (detect.py _build_run) exist to turn the
-pyramid's peak from sum-over-levels into max-over-levels so B=4 fits a
-16 GB v5e; this probe is the evidence.
+MEASURED (PERF_NOTES r4): the level-serialization barriers (detect.py
+_build_run) do NOT change peak HBM — XLA's scheduler already orders the
+levels memory-minimally, so the pyramid peaks at max-over-levels either
+way (~1.2 GiB/image; B=4 = 4.9 GiB at 1024x1530 — round 3's "B=3 OOMs a
+16 GB v5e" does not reproduce). Their real effect is compile time on the
+big batched programs: serial B=4 compiles in 89 s vs 932 s without.
 
 Usage (real TPU, one process at a time):
     python scripts/hbm_probe.py [--timed-batch 4] [--no-timed]
@@ -105,7 +108,8 @@ def main():
     bmax = args.timed_batch
     print(f"# warmup (compile + first readback, can take minutes)...",
           flush=True)
-    det.detect_many(imgs[:bmax], thresh=0.05, max_batch=bmax)
+    for mb in (1, 2, bmax):
+        det.detect_many(imgs[:mb], thresh=0.05, max_batch=mb)
     for mb in (1, 2, bmax):
         t0 = time.time()
         det.detect_many(imgs, thresh=0.05, max_batch=mb)

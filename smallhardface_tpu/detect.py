@@ -185,13 +185,16 @@ class TPUDetector:
                 if serial and li > 0:
                     # Serialize the levels: tie this level's first op to the
                     # previous level's (tiny) outputs so the scheduler cannot
-                    # interleave independent levels — the previous level's
-                    # activations are dead before this one starts, and the
-                    # buffer allocator reuses them. Peak HBM becomes
-                    # max-over-levels instead of sum-over-levels (the ~5 GB
-                    # /image pyramid peak that capped detect_many at B=2).
-                    # optimization_barrier is the identity: detections are
-                    # bit-identical (tests/test_detect_many.py).
+                    # interleave independent levels. Measured
+                    # (scripts/hbm_probe.py, PERF_NOTES r4): peak HBM is
+                    # UNCHANGED — XLA's scheduler already orders the levels
+                    # memory-minimally (max-over-levels either way; batched
+                    # B=4 peaks 4.9 GiB at WIDER shapes) — but pinning the
+                    # order collapses the scheduler's search on the big
+                    # batched programs: the B=4 pyramid compiles in 89 s vs
+                    # 932 s without the barriers. optimization_barrier is
+                    # the identity: detections are bit-identical
+                    # (tests/test_detect_many.py).
                     sc, all_boxes[-1], all_scores[-1] = (
                         lax.optimization_barrier(
                             (sc, all_boxes[-1], all_scores[-1])))
@@ -551,9 +554,12 @@ class TPUDetector:
         shift the last float ulps). Images of different padded shapes fall
         into separate groups (each its own compiled program); callers
         wanting a bounded program count should bucket inputs by size.
-        max_batch bounds the images per dispatch (a full 5-level pyramid
-        ×flip at WIDER sizes peaks ~5 GB HBM per image — B=3 exceeds a
-        v5e's 16 GB). Returns a list of cls_dets in input order.
+        max_batch bounds the images per dispatch: a full 5-level ×flip
+        pyramid peaks ~1.2 GiB HBM per image (measured compile-time
+        analysis at WIDER shapes, scripts/hbm_probe.py — B=4 = 4.9 GiB),
+        so B=4 fits a 16 GB v5e with room; the bound mainly caps compile
+        time and per-dispatch upload burst. Returns a list of cls_dets
+        in input order.
 
         Under cfg.TPU.HOST_PREPROC (the reference-exact parity path) there
         is no batched device program; rather than silently running a

@@ -41,7 +41,8 @@ class DetectorService:
     v5e wants (2.7× per image at B=4 on-chip, PERF_NOTES.md) that the
     per-request pipeline can't reach. Detections are numerically
     equivalent to the unbatched path (tests/test_serve.py). max_batch
-    bounds images per dispatch (HBM: ~5 GB per full-pyramid image)."""
+    bounds images per dispatch (a full-pyramid image peaks ~1.2 GiB HBM
+    — B=4 measures 4.9 GiB at WIDER shapes, scripts/hbm_probe.py)."""
 
     # generous per-request bound: must exceed the documented worst-case
     # cold start (~300 s compile + up to 10 min first tunnel readback,
@@ -49,7 +50,7 @@ class DetectorService:
     # instead of a forever-blocked client
     REQUEST_TIMEOUT_S = 30 * 60
 
-    def __init__(self, params, spec, batch_window_ms=0, max_batch=2,
+    def __init__(self, params, spec, batch_window_ms=0, max_batch=4,
                  calib_images=()):
         """calib_images: image paths for one-time int8 activation-range
         calibration (TPU.PRECISION='int8'); without them the service
@@ -248,8 +249,9 @@ def main():
     p.add_argument("--port", type=int, default=8400)
     p.add_argument("--batch-window-ms", type=float, default=0,
                    help="cross-client micro-batch window; 0 = per-request")
-    p.add_argument("--max-batch", type=int, default=2,
-                   help="images per batched dispatch (HBM bound)")
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="images per batched dispatch (B=4 measures "
+                        "4.9 GiB peak HBM at WIDER shapes)")
     p.add_argument("--calib-images", nargs="*", default=[],
                    help="representative images for one-time int8 "
                         "activation calibration (TPU.PRECISION='int8'); "

@@ -101,6 +101,71 @@ def _bisect(spec, params, x, args, jax, jnp, dm):
           f"MFU {tf/197:.2f} vs the 197 TF/s MXU peak)")
 
 
+def _bisect_int8(spec, params, args, jax, jnp, dm):
+    """Per-stage int8-vs-fp32 walls of the POST-STEM VGG chain (the
+    serving int8 chain's exact domain — conv2_1..conv5_3 with chained
+    int8 carriers, detector.forward's calibrated static mode) next to
+    each stage's roofline floor: max(FLOPs at the 394 TOPS int8 MXU peak,
+    bytes at the MEASURED HBM bandwidth). The VERDICT-r3 'make int8 win
+    or retire it with data' evidence: where measured ≈ floor the stage is
+    bandwidth-bound and no quantization can buy it back."""
+    import math
+
+    from smallhardface_tpu.tools import measure
+
+    h, w = args.size
+    params = jax.device_put(params)
+    rtt = measure.rtt_baseline(args.reps)
+    print(f"# null dispatch+readback (RTT baseline): {rtt*1e3:.1f} ms")
+    bw, bw_wall = measure.hbm_bandwidth()
+    print(f"# measured HBM r+w bandwidth: {bw/1e9:.0f} GB/s "
+          f"(2 GiB fused pass, wall {bw_wall*1e3:.1f} ms; v5e spec 819)")
+
+    # timing-only qstate: calibration values don't change the program
+    amax = {n: 1.0 for n in dm.int8_layer_names(spec)}
+    qstate = jax.device_put(dm.make_qstate(params, spec, amax))
+
+    stages = measure.chain_stage_list(dm.VGG_STAGES)
+    hs, ws = h // 2, w // 2                  # pool1 output grid
+    q8 = jax.device_put(jnp.zeros((1, hs, ws, 64), jnp.int8))
+    qf = jax.device_put(jnp.zeros((1, hs, ws, 64), jnp.float32))
+
+    shapes = dm.param_shapes(spec)
+    print(f"# post-stem chain @ {h}x{w} input ({hs}x{ws}x64 carrier); "
+          f"cum walls include the RTT; floors: FLOPs@394T vs bytes@meas")
+    prev8, prevf, s = rtt, rtt, 2
+    chans = 64
+    for k, nm in enumerate(stages, 1):
+        t8 = measure.wall(
+            measure.make_chain_fn(stages, k, int8=True, qstate=qstate),
+            (params, q8), args.reps)
+        tf = measure.wall(
+            measure.make_chain_fn(stages, k), (params, qf), args.reps)
+        d8, df = t8 - prev8, tf - prevf
+        prev8, prevf = t8, tf
+        hh, ww = math.ceil(h / s), math.ceil(w / s)
+        if nm.startswith("pool"):
+            io8 = hh * ww * chans * 1.25     # read + 1/4-size write
+            print(f"  {nm:10s} int8 Δ {d8*1e3:6.1f} ms   fp32 Δ "
+                  f"{df*1e3:6.1f} ms   floor {io8/bw*1e3:5.2f} ms (io)")
+            s *= 2
+            continue
+        kh, kw, ci, co = shapes[nm]["w"]
+        fl = 2.0 * hh * ww * kh * kw * ci * co
+        by8 = hh * ww * (ci + co) + kh * kw * ci * co
+        t_fl, t_by = fl / 394e12, by8 / bw
+        bound = "BW" if t_by > t_fl else "MXU"
+        floor = max(t_fl, t_by)
+        print(f"  {nm:10s} int8 Δ {d8*1e3:6.1f} ms   fp32 Δ "
+              f"{df*1e3:6.1f} ms   floor {floor*1e3:5.2f} ms ({bound}"
+              f": {t_fl*1e3:.2f} flops / {t_by*1e3:.2f} bytes)")
+        chans = co
+    n_conv = sum(1 for nm in stages if not nm.startswith("pool"))
+    print(f"  {'CHAIN':10s} int8 cum {(prev8-rtt)*1e3:7.1f} ms   fp32 cum "
+          f"{(prevf-rtt)*1e3:7.1f} ms   ({n_conv} convs; stem/fusion/heads "
+          f"excluded — see PERF_NOTES r4 int8 roofline)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, nargs=2, default=[1408, 1920])
@@ -116,6 +181,11 @@ def main():
                          "per-prefix fusion choices — read the cumulative "
                          "column). Requires a real device.")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--int8-chain", action="store_true",
+                    help="with --bisect: per-stage int8-vs-fp32 walls of "
+                         "the post-stem chain next to roofline floors "
+                         "(measured HBM bandwidth) — the int8 "
+                         "win-or-retire evidence")
     args = ap.parse_args()
 
     import jax
@@ -129,7 +199,10 @@ def main():
     x = jnp.zeros((1, h, w, 3), jnp.float32)
 
     if args.bisect:
-        _bisect(spec, params, x, args, jax, jnp, dm)
+        if args.int8_chain:
+            _bisect_int8(spec, params, args, jax, jnp, dm)
+        else:
+            _bisect(spec, params, x, args, jax, jnp, dm)
         return
 
     if args.train:

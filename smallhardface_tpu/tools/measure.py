@@ -65,3 +65,71 @@ def make_prefix_fn(stage_names, k):
         return h.sum()
 
     return jax.jit(run)
+
+
+def hbm_bandwidth(gb=2.0, reps=6):
+    """Measured achievable HBM read+write bandwidth (bytes/s): one fused
+    elementwise pass (y = x + 1) over a `gb`-sized fp32 array reads and
+    writes the full array once; the wall is taken with the tunnel-safe
+    1-element readback and RTT-differenced by the caller if needed.
+    Roofline denominator for the int8 retirement study (PERF_NOTES r4)."""
+    n = int(gb * 2**30 / 4)
+    x = jax.device_put(jnp.zeros((n,), jnp.float32))
+    f = jax.jit(lambda v: v + 1.0)
+    t = wall(f, (x,), reps)
+    return 2.0 * n * 4 / t, t
+
+
+def chain_stage_list(vgg_stages):
+    """vgg_stage_list minus the conv1 stage and pool1 — the serving int8
+    chain's domain (the fp32 Pallas stem owns conv1_1..pool1)."""
+    return [nm for nm in vgg_stage_list(vgg_stages)
+            if not nm.startswith("conv1") and nm != "pool1"]
+
+
+def make_chain_fn(stage_names, k, int8=False, qstate=None):
+    """Jitted truncated post-stem VGG chain over the first k entries of
+    stage_names (which start at conv2_1; input is a pool1-shaped carrier:
+    fp32, or an int8 carrier on conv2_1's calibrated grid when int8).
+
+    int8=True mirrors the serving chain exactly (detector.forward's
+    calibrated static mode): conv2d_int8_chain links re-quantizing onto
+    the successor's grid, max-pool directly on the int8 carrier; the last
+    link dequantizes to fp32. Returns a scalar (defeats DCE)."""
+    from smallhardface_tpu.models.layers import (conv2d, conv2d_int8_chain,
+                                                 max_pool_2x2)
+
+    names = stage_names[:k]
+    convs = [nm for nm in names if not nm.startswith("pool")]
+
+    if not int8:
+        def run(p, q):
+            h = q
+            for nm in names:
+                if nm.startswith("pool"):
+                    h = max_pool_2x2(h)
+                else:
+                    h = jax.nn.relu(conv2d(
+                        h, p[nm]["w"], p[nm]["b"], padding=1))
+            return h.astype(jnp.float32).sum()
+
+        return jax.jit(run)
+
+    succ = dict(zip(convs, convs[1:]))
+
+    def run(p, q):
+        h = q
+        for nm in names:
+            if nm.startswith("pool"):
+                h = max_pool_2x2(h)
+                continue
+            nxt = succ.get(nm)
+            h = conv2d_int8_chain(
+                h, qstate["qw"][nm],
+                qstate["scales"][nm] / 127.0, qstate["s_w"][nm],
+                p[nm]["b"], padding=1,
+                s_out=(None if nxt is None
+                       else qstate["scales"][nxt] / 127.0))
+        return h.astype(jnp.float32).sum()
+
+    return jax.jit(run)

@@ -188,13 +188,12 @@ class RoIDataLoader:
         makes resume bit-reproducible in the data stream (exceeds the
         reference, which restarted its data layers from scratch).
 
-        Caveat: easy-image marks applied by the main thread AFTER the
-        train loop captured this snapshot (they land between the capture
-        and the snapshot write — under the round-4 pipelined loop, marks
-        for iterations N-1 AND N, since metrics are processed one step
-        behind the dispatch) are not included; they only influence
-        epoch-boundary reshuffles, so the replayed stream can diverge at
-        the first epoch boundary after resume when mining is enabled."""
+        Easy-image marks: the train loop drains the in-flight metrics of
+        the pipelined iterations BEFORE capturing this snapshot on
+        snapshot iterations (train_loop will_snap branch), so the
+        captured mining state carries every mark for iterations ≤ the
+        snapshot iteration and the replayed stream cannot lose marks at
+        resume."""
         import copy
         with self._lock:
             return {

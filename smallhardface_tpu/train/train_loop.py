@@ -583,7 +583,7 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         agreed["snapshot"] = bool(gathered[-1])
         # the local flag has been shipped to every process; clearing it
         # only now (not at the end of the iteration) means a SIGHUP that
-        # lands between the want_snapshot block and this gather still
+        # lands between the will_snap decision and this gather still
         # reaches rank 0 instead of being silently dropped
         actions["snapshot"] = False
         return assemble_batch(got, n_local, iter_size, gt_buckets,
@@ -632,9 +632,10 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     # metrics are read back, so the D2H readback (~1 tunnel RTT) and the
     # prefetch thread's H2D upload of batch N+1 both overlap step N's
     # compute. Consequence: mining feedback and loss logging run one
-    # iteration behind the dispatch (marks were already only consumed at
-    # epoch reshuffle; the resume caveat in loader.py widens by one
-    # iteration). Processing the deferred record is also the pipeline
+    # iteration behind the dispatch (marks are only consumed at epoch
+    # reshuffle; snapshot iterations drain the pipeline first so the
+    # captured sampler state carries every mark — see the will_snap
+    # branch below). Processing the deferred record is also the pipeline
     # throttle — it blocks until step N-1 is done, so the host can never
     # run more than one step ahead (bounded device memory).
     deferred = None          # (it1, device metrics, im_idx, rate, bucket)
@@ -676,12 +677,26 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     for it in range(start_iter, max_iter):
         t.tic()
         batch, im_idx, bucket = finish_batch(pending.result())
-        # Sampler snapshot BEFORE the next prefetch mutates loader state:
-        # a resume at iteration it+1 re-fetches exactly the batch the
-        # original run would have used for it+1.
-        loader_snapshot = [ld.state_dict() for ld in loaders]
-        if it + 1 < max_iter:
-            pending = prefetch.submit(build_batch, it + 1)
+        it1 = it + 1
+        # Snapshot/stop decision up front (multi-host: the allgather-
+        # agreed flags finish_batch just refreshed). A signal landing
+        # later in this iteration acts at the NEXT one — the same
+        # "snapshot at next iteration" semantics, now race-free against
+        # the snapshot write below.
+        eff = actions if n_procs == 1 else agreed
+        will_stop = bool(eff["stop"])
+        will_snap = (it1 % int(cfg.TRAIN.SNAPSHOT) == 0
+                     or it1 == max_iter or eff["snapshot"] or will_stop)
+        eff["snapshot"] = False
+        if not will_snap:
+            # Sampler snapshot BEFORE the next prefetch mutates loader
+            # state: a resume at iteration it+1 re-fetches exactly the
+            # batch the original run would have used for it+1. (Snapshot
+            # iterations capture later — after draining the in-flight
+            # metrics — see below.)
+            loader_snapshot = [ld.state_dict() for ld in loaders]
+            if it + 1 < max_iter:
+                pending = prefetch.submit(build_batch, it + 1)
         rate = solver_mod.learning_rate(it, cfg)
         out_shape = (bucket[2], bucket[3])        # (hb, wb)
         if n_procs == 1:
@@ -696,25 +711,31 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             params, opt_state, np.float32(rate), np.int32(it), out_shape,
             *dev_args)
         metrics_dev = _pack_metrics(metrics_dev)   # one D2H array, not 5
-        it1 = it + 1
         if deferred is not None:
             process_metrics(deferred)
-        deferred = (it1, metrics_dev, im_idx, rate, bucket)
+            deferred = None
+        if will_snap:
+            # Snapshot iteration: stall the pipeline — drain THIS step's
+            # metrics too (blocking readback), so every easy-image mark
+            # for iterations ≤ it1 is applied before the sampler state is
+            # captured. This closes the mining-resume caveat (a resumed
+            # run used to lose the marks of the two in-flight iterations
+            # and could diverge at the first epoch boundary). Costs one
+            # overlap-free iteration per snapshot.
+            process_metrics((it1, metrics_dev, im_idx, rate, bucket))
+            loader_snapshot = [ld.state_dict() for ld in loaders]
+            if it + 1 < max_iter:
+                pending = prefetch.submit(build_batch, it + 1)
+        else:
+            deferred = (it1, metrics_dev, im_idx, rate, bucket)
         t.toc()
 
-        # under multi-host, only the allgather-agreed flags drive actions
-        # (local flags are shipped to the peers in finish_batch first)
-        eff = actions if n_procs == 1 else agreed
-        want_snapshot = (it1 % int(cfg.TRAIN.SNAPSHOT) == 0
-                         or it1 == max_iter or eff["snapshot"]
-                         or eff["stop"])
-        if want_snapshot and proc != 0:
+        if will_snap and proc != 0:
             # single-writer snapshots, like the reference's rank-0-only
             # snapshotting (lib/train.py:143-146); params are replicated
             # so process 0's copy is every process's copy
-            eff["snapshot"] = False
-        elif want_snapshot:
-            eff["snapshot"] = False
+            pass
+        elif will_snap:
             import pickle
             if n_procs > 1:
                 # process 0 only holds its own ranks' sampler state; a
@@ -736,7 +757,7 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                     osp.join(output_dir, "final.caffemodel"),
                     jax.device_get(params))
 
-        if eff["stop"]:
+        if will_stop:
             logger.warning("Stopping at iteration %d on signal", it1)
             break
 

@@ -97,10 +97,11 @@ def test_detect_many_honors_host_preproc(rng, many_cfg, caplog):
 
 def test_level_serial_bit_identical(rng, many_cfg):
     """TPU.LEVEL_SERIAL inserts optimization_barriers between pyramid
-    levels (scheduler serialization so the buffer allocator reuses level
-    activations — the HBM lever that unlocks detect_many max_batch=4 on a
-    16 GB v5e). Barriers are identity ops: detections must be BIT-identical
-    with the flag on and off, for a multi-level pyramid with flip TTA."""
+    levels, pinning the scheduler's level order (same peak HBM — XLA
+    already orders levels memory-minimally — but a 10× faster compile on
+    the big batched programs; PERF_NOTES r4). Barriers are identity ops:
+    detections must be BIT-identical with the flag on and off, for a
+    multi-level pyramid with flip TTA."""
     cfg.TEST.SCALES = [48, 96]
     old_base = cfg.TEST.PYRAMID_BASE_SIZE
     cfg.TEST.PYRAMID_BASE_SIZE = [48, 96]

@@ -164,6 +164,60 @@ def test_train_resume_bit_reproducible(tmp_path, train_cfg):
         cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE = old_mining
 
 
+def test_train_resume_with_mining_bit_reproducible(tmp_path, train_cfg):
+    """Mining-enabled resume: snapshot iterations drain the metric
+    pipeline BEFORE capturing the sampler state (train_loop will_snap
+    branch), so easy-image marks for every iteration ≤ the snapshot are
+    in the checkpoint and the resumed run replays the same mining
+    decisions. SNAPSHOT=1 makes both runs fully serialized (no
+    mark-vs-reshuffle thread race), so straight 6 == 3 + resume 3 must be
+    BIT-identical — the round-3 'marks lost across resume' caveat,
+    closed. THRESHOLD=0 marks every image easy; PROB drives real skips."""
+    import pickle
+
+    from smallhardface_tpu.io import checkpoint
+    roidb = _tiny_roidb(tmp_path)
+    mesh = make_mesh(2)
+    dei = cfg.TRAIN.DISABLE_EASY_IMAGE
+    saved = (cfg.TRAIN.SNAPSHOT, dei.THRESHOLD, dei.PROB, cfg.TRAIN.RESUME)
+    cfg.TRAIN.SNAPSHOT = 1
+    dei.THRESHOLD = 0.0
+    dei.PROB = 0.4
+    try:
+        out_a = str(tmp_path / "straight_m")
+        os.makedirs(out_a, exist_ok=True)
+        train_loop.train_net(roidb, out_a, pretrained_model=None,
+                             max_iter=6, mesh=mesh)
+        params_a, _, it_a, _ = checkpoint.load(
+            os.path.join(out_a, "final.npz"))
+        assert it_a == 6
+
+        out_b = str(tmp_path / "resumed_m")
+        os.makedirs(out_b, exist_ok=True)
+        train_loop.train_net(roidb, out_b, pretrained_model=None,
+                             max_iter=3, mesh=mesh)
+        _, _, _, extra = checkpoint.load(os.path.join(out_b, "final.npz"))
+        states = pickle.loads(extra["loader_state"].tobytes())
+        assert any(s["mining"] for s in states), (
+            "fixture failed to engage mining — the resume assertion "
+            "below would be vacuous")
+        cfg.TRAIN.RESUME = os.path.join(out_b, "final.npz")
+        train_loop.train_net(roidb, out_b, pretrained_model=None,
+                             max_iter=6, mesh=mesh)
+        params_b, _, it_b, _ = checkpoint.load(
+            os.path.join(out_b, "final.npz"))
+        assert it_b == 6
+        for name in params_a:
+            for k in params_a[name]:
+                np.testing.assert_array_equal(
+                    params_a[name][k], params_b[name][k],
+                    err_msg=f"param {name}/{k} diverged across "
+                            f"mining-enabled resume")
+    finally:
+        (cfg.TRAIN.SNAPSHOT, dei.THRESHOLD, dei.PROB,
+         cfg.TRAIN.RESUME) = saved
+
+
 def test_train_step_updates_only_unfrozen(tmp_path, train_cfg):
     roidb = _tiny_roidb(tmp_path)
     mesh = make_mesh(2)
