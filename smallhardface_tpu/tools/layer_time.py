@@ -111,15 +111,19 @@ def _bisect_int8(spec, params, args, jax, jnp, dm):
     bandwidth-bound and no quantization can buy it back."""
     import math
 
+    import numpy as np
+
     from smallhardface_tpu.tools import measure
 
     h, w = args.size
+    B = int(args.batch)
     params = jax.device_put(params)
     rtt = measure.rtt_baseline(args.reps)
     print(f"# null dispatch+readback (RTT baseline): {rtt*1e3:.1f} ms")
     bw, bw_wall = measure.hbm_bandwidth()
     print(f"# measured HBM r+w bandwidth: {bw/1e9:.0f} GB/s "
-          f"(2 GiB fused pass, wall {bw_wall*1e3:.1f} ms; v5e spec 819)")
+          f"(16-deep looped 2 GiB passes, wall {bw_wall*1e3:.1f} ms; "
+          f"v5e spec 819)")
 
     # timing-only qstate: calibration values don't change the program
     amax = {n: 1.0 for n in dm.int8_layer_names(spec)}
@@ -127,14 +131,16 @@ def _bisect_int8(spec, params, args, jax, jnp, dm):
 
     stages = measure.chain_stage_list(dm.VGG_STAGES)
     hs, ws = h // 2, w // 2                  # pool1 output grid
-    q8 = jax.device_put(jnp.zeros((1, hs, ws, 64), jnp.int8))
-    qf = jax.device_put(jnp.zeros((1, hs, ws, 64), jnp.float32))
+    q8 = jax.device_put(jnp.zeros((B, hs, ws, 64), jnp.int8))
+    qf = jax.device_put(jnp.zeros((B, hs, ws, 64), jnp.float32))
 
     shapes = dm.param_shapes(spec)
-    print(f"# post-stem chain @ {h}x{w} input ({hs}x{ws}x64 carrier); "
-          f"cum walls include the RTT; floors: FLOPs@394T vs bytes@meas")
+    print(f"# post-stem chain @ {h}x{w} input (B={B} {hs}x{ws}x64 "
+          f"carrier); per-stage Δs carry ±RTT noise — trust the "
+          f"round-robin totals; floors: FLOPs@394T vs bytes@meas")
     prev8, prevf, s = rtt, rtt, 2
     chans = 64
+    floor_sum = 0.0
     for k, nm in enumerate(stages, 1):
         t8 = measure.wall(
             measure.make_chain_fn(stages, k, int8=True, qstate=qstate),
@@ -145,25 +151,46 @@ def _bisect_int8(spec, params, args, jax, jnp, dm):
         prev8, prevf = t8, tf
         hh, ww = math.ceil(h / s), math.ceil(w / s)
         if nm.startswith("pool"):
-            io8 = hh * ww * chans * 1.25     # read + 1/4-size write
+            io8 = B * hh * ww * chans * 1.25     # read + 1/4-size write
+            floor_sum += io8 / bw
             print(f"  {nm:10s} int8 Δ {d8*1e3:6.1f} ms   fp32 Δ "
                   f"{df*1e3:6.1f} ms   floor {io8/bw*1e3:5.2f} ms (io)")
             s *= 2
             continue
         kh, kw, ci, co = shapes[nm]["w"]
-        fl = 2.0 * hh * ww * kh * kw * ci * co
-        by8 = hh * ww * (ci + co) + kh * kw * ci * co
+        fl = 2.0 * B * hh * ww * kh * kw * ci * co
+        by8 = B * hh * ww * (ci + co) + kh * kw * ci * co
         t_fl, t_by = fl / 394e12, by8 / bw
         bound = "BW" if t_by > t_fl else "MXU"
-        floor = max(t_fl, t_by)
+        floor_sum += max(t_fl, t_by)
         print(f"  {nm:10s} int8 Δ {d8*1e3:6.1f} ms   fp32 Δ "
-              f"{df*1e3:6.1f} ms   floor {floor*1e3:5.2f} ms ({bound}"
-              f": {t_fl*1e3:.2f} flops / {t_by*1e3:.2f} bytes)")
+              f"{df*1e3:6.1f} ms   floor {max(t_fl, t_by)*1e3:5.2f} ms "
+              f"({bound}: {t_fl*1e3:.2f} flops / {t_by*1e3:.2f} bytes)")
         chans = co
+
+    # ---- the trustworthy totals: full chain, round-robin vs a null
+    # dispatch so tunnel weather cancels in the difference
+    k = len(stages)
+    walls = measure.wall_roundrobin([
+        ("null", jax.jit(lambda v: v + 1.0),
+         (jnp.zeros((8,), jnp.float32),)),
+        ("fp32", measure.make_chain_fn(stages, k), (params, qf)),
+        ("int8", measure.make_chain_fn(stages, k, int8=True,
+                                       qstate=qstate), (params, q8)),
+    ], reps=args.reps)
+    c8 = walls["int8"] - walls["null"]
+    cf = walls["fp32"] - walls["null"]
     n_conv = sum(1 for nm in stages if not nm.startswith("pool"))
-    print(f"  {'CHAIN':10s} int8 cum {(prev8-rtt)*1e3:7.1f} ms   fp32 cum "
-          f"{(prevf-rtt)*1e3:7.1f} ms   ({n_conv} convs; stem/fusion/heads "
-          f"excluded — see PERF_NOTES r4 int8 roofline)")
+    flops = sum(2.0 * B * math.ceil(h / ss) * math.ceil(w / ss)
+                * np.prod(shapes[nm]["w"])
+                for nm, ss in zip(
+                    [n for n in stages if not n.startswith("pool")],
+                    [2, 2, 4, 4, 4, 8, 8, 8, 16, 16, 16]))
+    print(f"  CHAIN (round-robin, {n_conv} convs, B={B}): "
+          f"int8 {c8*1e3:7.1f} ms ({flops/max(c8,1e-9)/1e12:.0f} TF/s)   "
+          f"fp32 {cf*1e3:7.1f} ms ({flops/max(cf,1e-9)/1e12:.0f} TF/s)   "
+          f"roofline floor {floor_sum*1e3:.1f} ms   int8:fp32 "
+          f"{cf/max(c8,1e-9):.2f}x — stem/fusion/heads excluded")
 
 
 def main():
@@ -181,6 +208,10 @@ def main():
                          "per-prefix fusion choices — read the cumulative "
                          "column). Requires a real device.")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="with --int8-chain: carrier batch size — B=4 "
+                         "amplifies compute ~4x over the ~30 ms tunnel "
+                         "RTT so the chain totals are trustworthy")
     ap.add_argument("--int8-chain", action="store_true",
                     help="with --bisect: per-stage int8-vs-fp32 walls of "
                          "the post-stem chain next to roofline floors "

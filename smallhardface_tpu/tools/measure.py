@@ -67,17 +67,43 @@ def make_prefix_fn(stage_names, k):
     return jax.jit(run)
 
 
-def hbm_bandwidth(gb=2.0, reps=6):
-    """Measured achievable HBM read+write bandwidth (bytes/s): one fused
-    elementwise pass (y = x + 1) over a `gb`-sized fp32 array reads and
-    writes the full array once; the wall is taken with the tunnel-safe
-    1-element readback and RTT-differenced by the caller if needed.
-    Roofline denominator for the int8 retirement study (PERF_NOTES r4)."""
+def hbm_bandwidth(gb=2.0, loops=16, reps=6):
+    """Measured achievable HBM read+write bandwidth (bytes/s): a
+    sequential in-program loop of `loops` fused elementwise passes over a
+    `gb`-sized fp32 array (each iteration reads and writes the full
+    array; the multiply-add carry chain prevents any cross-iteration
+    fusion), so on-chip time dwarfs the ~30 ms tunnel RTT that a single
+    pass would drown in. Roofline denominator for the int8 retirement
+    study (PERF_NOTES r4)."""
+    from jax import lax
+
     n = int(gb * 2**30 / 4)
     x = jax.device_put(jnp.zeros((n,), jnp.float32))
-    f = jax.jit(lambda v: v + 1.0)
+    f = jax.jit(lambda v: lax.fori_loop(
+        0, loops, lambda i, y: y * 1.0000001 + 1e-7, v))
     t = wall(f, (x,), reps)
-    return 2.0 * n * 4 / t, t
+    return 2.0 * loops * n * 4 / t, t
+
+
+def wall_roundrobin(named, reps=10):
+    """{name: median wall} with the entries sampled round-robin so the
+    tunnel's minute-scale weather hits every entry equally — the
+    trustworthy way to DIFFERENCE two walls (e.g. int8 vs fp32 vs a null
+    dispatch). named = [(name, fn, args), ...]; all fns are warmed (and
+    their first readback absorbed) before timing."""
+    import time
+
+    for _, fn, args in named:
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    ts = {nm: [] for nm, _, _ in named}
+    for _ in range(reps):
+        for nm, fn, args in named:
+            t0 = time.time()
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            ts[nm].append(time.time() - t0)
+    return {nm: float(np.median(v)) for nm, v in ts.items()}
 
 
 def chain_stage_list(vgg_stages):
