@@ -297,6 +297,14 @@ def test_net(imdb, output_dir, thresh=0.05, no_cache=False, step=0,
             np.array([cache_hit], np.int32))).reshape(-1)[0])
 
     if not cache_hit:
+        if (os.environ.get("SHF_FAULT_TEST") == "1"
+                and "SHF_AUTO_RESUME_LEFT" not in os.environ):
+            # test-only fault injection: the FIRST process (no relaunch
+            # marker in the env yet) dies with a synthetic device-runtime
+            # fault; the TRAIN.AUTO_RESUME relaunch, which carries the
+            # marker, completes — tests/test_auto_resume.py
+            raise jax.errors.JaxRuntimeError(
+                "UNAVAILABLE: injected TPU worker fault (SHF_FAULT_TEST)")
         dets = run_inference(imdb, params, spec, thresh)
         assert len(dets[0]) == len(imdb), "Detection result compromised"
         if proc == 0 and not no_cache:

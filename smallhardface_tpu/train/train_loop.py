@@ -475,6 +475,31 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         logger.info("Resumed from %s at iter %d", cfg.TRAIN.RESUME,
                     start_iter)
 
+    if start_iter >= max_iter:
+        # Resume from a completed (or over-long) checkpoint: nothing to
+        # train, but the final artifacts must still exist in THIS run's
+        # output dir — the CLI wires cfg.TEST.MODEL to final.npz here,
+        # and an auto-resume relaunch that crashed between the max_iter
+        # snapshot and the test phase lands exactly on this path.
+        logger.warning("Resume iteration %d >= max_iter %d: writing final "
+                       "weights without training", start_iter, max_iter)
+        if proc == 0:
+            checkpoint.save(osp.join(output_dir, "final.npz"),
+                            jax.device_get(params),
+                            jax.device_get(opt_state), start_iter,
+                            extra=resume_extra)
+            from smallhardface_tpu.io import caffemodel
+            caffemodel.export_params(
+                osp.join(output_dir, "final.caffemodel"),
+                jax.device_get(params))
+        return params
+
+    # Test-only fault injection: SHF_FAULT_ITER=K makes a FROM-SCRATCH run
+    # raise a synthetic device-runtime fault at iteration K (resumed runs
+    # are immune, so the relaunched process completes). Exercises
+    # TRAIN.AUTO_RESUME end-to-end — tests/test_auto_resume.py.
+    fault_iter = int(os.environ.get("SHF_FAULT_ITER", "0") or 0)
+
     step_maker = make_train_step_spatial if spatial else make_train_step
     step = step_maker(
         spec, tc, mesh, iter_size,
@@ -678,6 +703,9 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         t.tic()
         batch, im_idx, bucket = finish_batch(pending.result())
         it1 = it + 1
+        if fault_iter and it1 == fault_iter and start_iter == 0:
+            raise jax.errors.JaxRuntimeError(
+                "UNAVAILABLE: injected TPU worker fault (SHF_FAULT_ITER)")
         # Snapshot/stop decision up front (multi-host: the allgather-
         # agreed flags finish_batch just refreshed). A signal landing
         # later in this iteration acts at the NEXT one — the same

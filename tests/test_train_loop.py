@@ -164,6 +164,37 @@ def test_train_resume_bit_reproducible(tmp_path, train_cfg):
         cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE = old_mining
 
 
+def test_train_resume_past_max_iter_writes_final(tmp_path, train_cfg):
+    """Resuming from a checkpoint at (or beyond) max_iter trains nothing
+    but still materialises final.npz/final.caffemodel in the new output
+    dir — the path an AUTO_RESUME relaunch hits when the crash landed
+    between the max_iter snapshot and the test phase (train_test.py wires
+    cfg.TEST.MODEL to THIS run's final.npz)."""
+    from smallhardface_tpu.io import checkpoint
+    roidb = _tiny_roidb(tmp_path, n=2)
+    mesh = make_mesh(2)
+    old_resume = cfg.TRAIN.RESUME
+    try:
+        out_a = str(tmp_path / "done")
+        os.makedirs(out_a, exist_ok=True)
+        train_loop.train_net(roidb, out_a, pretrained_model=None,
+                             max_iter=2, mesh=mesh)
+        cfg.TRAIN.RESUME = os.path.join(out_a, "final.npz")
+        out_b = str(tmp_path / "noop")
+        os.makedirs(out_b, exist_ok=True)
+        train_loop.train_net(roidb, out_b, pretrained_model=None,
+                             max_iter=2, mesh=mesh)
+        assert os.path.exists(os.path.join(out_b, "final.caffemodel"))
+        pa, _, _, _ = checkpoint.load(os.path.join(out_a, "final.npz"))
+        pb, _, it_b, _ = checkpoint.load(os.path.join(out_b, "final.npz"))
+        assert it_b == 2
+        for name in pa:
+            for k in pa[name]:
+                np.testing.assert_array_equal(pa[name][k], pb[name][k])
+    finally:
+        cfg.TRAIN.RESUME = old_resume
+
+
 def test_train_resume_with_mining_bit_reproducible(tmp_path, train_cfg):
     """Mining-enabled resume: snapshot iterations drain the metric
     pipeline BEFORE capturing the sampler state (train_loop will_snap

@@ -50,6 +50,101 @@ def _redirect_stderr(output_dir):
     return f
 
 
+def _device_fault(exc):
+    """A device-RUNTIME fault (worker crash/preemption), as opposed to a
+    bug in this code: only these are worth an automatic relaunch."""
+    if type(exc).__name__ not in ("JaxRuntimeError", "XlaRuntimeError"):
+        return False
+    msg = str(exc)
+    return any(s in msg for s in
+               ("UNAVAILABLE", "DATA_LOSS", "ABORTED", "crashed",
+                "restarted", "preempted"))
+
+
+def _auto_resume_budget(exc):
+    """Relaunches left for this fault, or None when not applicable.
+
+    TRAIN.AUTO_RESUME (fault tolerance, a TPU extension — the reference
+    solver just died): preemptible TPU workers really do crash mid-run
+    ("UNAVAILABLE: TPU worker process crashed or restarted", observed at
+    iter 41540 of a 60k schedule on this machine). The dead PJRT client
+    cannot be re-initialised in-process, so recovery is process-level:
+    os.execve gives the relaunch a fresh backend while inheriting stdio
+    (nohup logs keep appending). The retry budget rides an env var so it
+    survives the exec. Single-controller only — under multi-host every
+    process would have to re-rendezvous, which is the launcher's job."""
+    left_env = os.environ.get("SHF_AUTO_RESUME_LEFT")
+    left = int(left_env) if left_env is not None else \
+        int(cfg.TRAIN.AUTO_RESUME)
+    if (left <= 0 or not _device_fault(exc)
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1") or 1) > 1):
+        return None
+    return left
+
+
+def _exec_relaunch(argv, left):
+    env = dict(os.environ)
+    env["SHF_AUTO_RESUME_LEFT"] = str(left)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable, argv, env)
+
+
+def _maybe_auto_resume_train(exc, output_dir):
+    """On a device-runtime fault during TRAINING, re-exec this CLI with
+    TRAIN.RESUME pointing at the newest snapshot of the crashed run.
+    Re-raises `exc` when not applicable."""
+    left = _auto_resume_budget(exc)
+    if left is None:
+        raise exc
+    import glob
+    import re
+    snaps = []
+    for p in glob.glob(osp.join(output_dir, "*_iter_*.npz")):
+        m = re.search(r"_iter_(\d+)\.npz$", p)
+        if m:
+            snaps.append((int(m.group(1)), p))
+    latest = max(snaps)[1] if snaps else ""
+    logger.exception(
+        "Device-runtime fault during training (%d auto-resume "
+        "relaunch(es) left); relaunching from %s", left - 1,
+        latest or "scratch")
+    argv = [sys.executable] + list(sys.argv)
+    if "--amend" not in argv:
+        argv.append("--amend")
+    if latest:
+        # cfg_from_list applies pairs in order, so this appended pair
+        # overrides any TRAIN.RESUME from the original command line or a
+        # previous relaunch
+        argv += ["TRAIN.RESUME", latest]
+    _exec_relaunch(argv, left - 1)
+
+
+def _maybe_auto_resume_test(exc):
+    """On a device-runtime fault during EVALUATION, re-exec with
+    --train false (training work, if any, is already on disk as
+    final.npz — cfg.TEST.MODEL points there) and redo only the eval.
+    Re-raises `exc` when not applicable."""
+    left = _auto_resume_budget(exc)
+    if left is None:
+        raise exc
+    argv = [sys.executable] + list(sys.argv)
+    if "--train" in argv:
+        argv[argv.index("--train") + 1] = "false"
+    else:
+        # insert BEFORE any --amend: argparse's REMAINDER would swallow it
+        argv[2:2] = ["--train", "false"]
+    if "--amend" not in argv:
+        argv.append("--amend")
+    if cfg.TEST.MODEL:
+        argv += ["TEST.MODEL", str(cfg.TEST.MODEL)]
+    logger.exception(
+        "Device-runtime fault during evaluation (%d auto-resume "
+        "relaunch(es) left); relaunching eval with model %s",
+        left - 1, cfg.TEST.MODEL or "<config default>")
+    _exec_relaunch(argv, left - 1)
+
+
 def main():
     # The axon TPU plugin in this image overrides JAX_PLATFORMS from the
     # environment at import; the config update is authoritative (same
@@ -99,9 +194,12 @@ def main():
         tb.sess.add_text(
             "train_cfg", cfg_table({i: cfg[i] for i in cfg if i != "TEST"}))
 
-        train_net(roidb, output_dir=output_dir,
-                  pretrained_model=cfg.TRAIN.PRETRAINED,
-                  max_iter=cfg.TRAIN.ITERS)
+        try:
+            train_net(roidb, output_dir=output_dir,
+                      pretrained_model=cfg.TRAIN.PRETRAINED,
+                      max_iter=cfg.TRAIN.ITERS)
+        except Exception as e:       # noqa: BLE001 — filtered inside
+            _maybe_auto_resume_train(e, output_dir)  # execs or re-raises
         # wire the trained weights into the following test
         cfg.TEST.MODEL = osp.join(output_dir, "final.npz")
 
@@ -122,7 +220,10 @@ def main():
             cfg_dump({i: cfg[i] for i in cfg if i != "TRAIN"}, f)
         tb.sess.add_text(
             "test_cfg", cfg_table({i: cfg[i] for i in cfg if i != "TRAIN"}))
-        test_net(imdb, output_dir, no_cache=cfg.TEST.NO_CACHE)
+        try:
+            test_net(imdb, output_dir, no_cache=cfg.TEST.NO_CACHE)
+        except Exception as e:       # noqa: BLE001 — filtered inside
+            _maybe_auto_resume_test(e)          # execs away or re-raises
 
 
 if __name__ == "__main__":
