@@ -265,9 +265,21 @@ def fused_stem_spatial(x, w1, b1, w2, b2, mesh, axis="sp", valid_hw=None,
     the same discipline as detector.cbr).
 
     x: (B, H, W, 3) float32 with H sharded over `axis`; H % (n·TH) == 0.
-    valid_hw: GLOBAL (vh, vw) scalars or None. Inference-only (the
-    backward kernel handles r0, but no spatial training path calls it).
+    valid_hw: GLOBAL (vh, vw) scalars or None.
     Returns (B, H/2, W/2, 64), H/2 sharded over `axis`.
+
+    Differentiable: a custom VJP (weight grads only, like fused_stem)
+    shard_maps the fused backward kernel per shard — true x halos via
+    ppermute, the shard's OWN dy rows only (halo dy = 0), partial
+    d(w1,b1,w2,b2) psum'd over the axis. Exactness argument: dw is
+    linear in dy for fixed relu/pool masks, the masks are recomputed
+    from true x everywhere a nonzero-dy term reaches (≤ 3 rows past a
+    shard edge, inside the TH-row halo), and every dy entry is nonzero
+    in exactly one shard — so the psum of partials equals the global
+    backward term-for-term. Needs an even global vh (training valid
+    extents are stride-8-aligned), matching fused_stem's even-valid
+    backward rule. This is what lets spatial TRAINING keep the fused
+    stem (train_loop._make_loss_fn passes the mesh through).
 
     Cost note: the exchanged halo is a full TH-row strip per side (strip
     alignment of the kernel grid) though only 3 rows feed the kept
@@ -276,17 +288,23 @@ def fused_stem_spatial(x, w1, b1, w2, b2, mesh, axis="sp", valid_hw=None,
     Hs ≥ 4·TH so the redundancy stays ≤ 50 %; below that the XLA chain
     wins on tiny levels anyway.
     """
-    from jax.sharding import PartitionSpec as P
-
     interpret = interpret or TESTING_INTERPRET
     B, H, W, C = x.shape
     n = mesh.shape[axis]
-    Hs = H // n
     assert H % (n * TH) == 0, (H, n, TH)
     if valid_hw is None:
         valid_hw = (H, W)
     vh = jnp.asarray(valid_hw[0], jnp.int32)
     vw = jnp.asarray(valid_hw[1], jnp.int32)
+    return _stem_sp_op(mesh, axis, interpret, x, w1, b1, w2, b2, vh, vw)
+
+
+def _stem_sp_fwd_impl(mesh, axis, interpret, x, w1, b1, w2, b2, vh, vw):
+    from jax.sharding import PartitionSpec as P
+
+    B, H, W, C = x.shape
+    n = mesh.shape[axis]
+    Hs = H // n
 
     def body(x_loc, w1, b1, w2, b2, vh, vw):
         i = jax.lax.axis_index(axis)
@@ -318,6 +336,68 @@ def fused_stem_spatial(x, w1, b1, w2, b2, mesh, axis="sp", valid_hw=None,
         in_specs=(P(None, axis), P(), P(), P(), P(), P(), P()),
         out_specs=P(None, axis),
         check_vma=not interpret)(x, w1, b1, w2, b2, vh, vw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _stem_sp_op(mesh, axis, interpret, x, w1, b1, w2, b2, vh, vw):
+    return _stem_sp_fwd_impl(mesh, axis, interpret, x, w1, b1, w2, b2,
+                             vh, vw)
+
+
+def _stem_sp_vjp_fwd(mesh, axis, interpret, x, w1, b1, w2, b2, vh, vw):
+    out = _stem_sp_fwd_impl(mesh, axis, interpret, x, w1, b1, w2, b2,
+                            vh, vw)
+    return out, (x, w1, b1, w2, b2, vh, vw)
+
+
+def _stem_sp_vjp_bwd(mesh, axis, interpret, res, dy):
+    from jax.sharding import PartitionSpec as P
+
+    x, w1, b1, w2, b2, vh, vw = res
+    B, H, W, _ = x.shape
+    n = mesh.shape[axis]
+    Hs = H // n
+
+    def body(x_loc, dy_loc, w1, b1, w2, b2, vh, vw):
+        i = jax.lax.axis_index(axis)
+        down = [(j, j + 1) for j in range(n - 1)]
+        up = [(j + 1, j) for j in range(n - 1)]
+        # true x halos (the grad kernel recomputes c1/c2 masks up to
+        # ±3 rows beyond the shard edge; TH = 8 rows cover it)...
+        top = jax.lax.ppermute(x_loc[:, Hs - TH:], axis, down)
+        bot = jax.lax.ppermute(x_loc[:, :TH], axis, up)
+        x_ext = jnp.concatenate([top, x_loc, bot], axis=1)
+        # ...but ZERO dy halos: each dy row drives dw contributions in
+        # exactly one shard (its owner), so the psum below adds each
+        # (activation row, dy entry) term exactly once — no exchange
+        zq = jnp.zeros((B, TH // 2, W // 2, 64), jnp.float32)
+        dy_ext = jnp.concatenate([zq, dy_loc, zq], axis=1)
+        r0 = jnp.maximum(TH - i * Hs, 0)
+        r1 = jnp.clip(vh - i * Hs + TH, 0, Hs + 2 * TH)
+        valid = jnp.stack([r1.astype(jnp.int32), vw.astype(jnp.int32),
+                           r0.astype(jnp.int32)])
+        xcf = jnp.transpose(x_ext, (0, 3, 1, 2))
+        dycf = jnp.transpose(dy_ext, (0, 1, 3, 2))
+        w1col, b1c, w2taps_t, b2c = prep_weights(w1, b1, w2, b2)
+        w2taps = jnp.reshape(w2, (9, 64, 64))
+        g = _stem_grad_call(xcf, dycf, w1col, b1c, w2taps_t, w2taps,
+                            b2c, valid, interpret=interpret,
+                            vma=None if interpret else (axis,))
+        return jax.tree_util.tree_map(
+            lambda t: jax.lax.psum(t, axis), g)
+
+    dw1, db1, dw2, db2 = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis)) + (P(),) * 6,
+        out_specs=(P(), P(), P(), P()),
+        check_vma=not interpret)(x, dy, w1, b1, w2, b2, vh, vw)
+    return (jnp.zeros_like(x), dw1, db1, dw2, db2,
+            _np_float0_like(vh), _np_float0_like(vw))
+
+
+# (_stem_grad_call / _np_float0_like are defined below — resolved at
+# trace time, not at registration)
+_stem_sp_op.defvjp(_stem_sp_vjp_fwd, _stem_sp_vjp_bwd)
 
 
 

@@ -114,12 +114,16 @@ def preprocess_image(data, scl, crp, im_hw, out_shape, pixel_mean):
     return jnp.where(inside, resized - pixel_mean, 0.0)
 
 
-def _make_loss_fn(spec, tc, compute_dtype, axis_name, stop_at=None):
+def _make_loss_fn(spec, tc, compute_dtype, axis_name, stop_at=None,
+                  spatial_mesh=None, spatial_axis="sp"):
     """One micro-batch's loss. axis_name = the shard_map data axis of the
     DP step (varying-type annotations + the Pallas stem VJP need it), or
     None when the caller runs under plain jit (the spatial step, where
-    the SPMD partitioner owns the sharding — a custom-VJP Pallas call
-    cannot be partitioned, so the stem kernel stays off there).
+    the SPMD partitioner owns the sharding). spatial_mesh routes the stem
+    through fused_stem_spatial — its custom VJP wraps shard_map'd
+    forward/backward kernels at the OUTER level, so the SPMD partitioner
+    never has to partition a Pallas custom call (the reason the spatial
+    step previously paid the ~10× XLA stem chain).
 
     stop_at truncates the computation for the train-time bisection probe
     (tools/train_time.py): "preproc" returns after the fused device
@@ -143,12 +147,14 @@ def _make_loss_fn(spec, tc, compute_dtype, axis_name, stop_at=None):
             mask_mode=detector_mod.mask_plan(
                 str(cfg.TPU.MASK_MODE), train=True)[0],
             s2d_stem=bool(cfg.TPU.S2D_STEM),
-            # backend gate: the kernel only lowers on TPU; the flagship
-            # config ships the flag on, and CPU-mesh runs (tests,
-            # PDB mode) must silently take the XLA stem instead
+            # backend gate lives in detector.forward (pallas_stem
+            # .backend_ok(): the kernel only lowers on TPU; CPU-mesh
+            # runs — tests, PDB mode — silently take the XLA stem
+            # unless TESTING_INTERPRET opts in)
             pallas_stem=bool(cfg.TPU.PALLAS_STEM_TRAIN)
-            and jax.default_backend() == "tpu" and axis_name is not None,
-            stem_vma=(axis_name,) if axis_name else None)
+            and (axis_name is not None or spatial_mesh is not None),
+            stem_vma=(axis_name,) if axis_name else None,
+            spatial_mesh=spatial_mesh, spatial_axis=spatial_axis)
         logits = out["cls_logits"][0]
         deltas = out["bbox_deltas"][0]
         if stop_at == "forward":
@@ -252,8 +258,12 @@ def make_train_step_spatial(spec, tc, sp_mesh, iter_size, *, weight_decay,
     Call signature and array layout match make_train_step with ONE data
     rank: leading device axis of size 1, data (1, iter_size, H, W, 3)
     with the ORIGINAL-image H divisible by the mesh size (train buckets
-    are ×32, so any power-of-two mesh qualifies). The Pallas stem
-    kernel stays off (a custom-VJP Pallas call cannot be partitioned).
+    are ×32, so any power-of-two mesh qualifies). With
+    TPU.PALLAS_STEM_TRAIN the stem runs the fused Pallas kernel here
+    too: fused_stem_spatial's custom VJP wraps explicitly shard_map'd
+    forward/backward kernels (ppermute halo exchange, psum'd weight
+    grads), so the partitioner sees an opaque already-sharded region
+    instead of a Pallas call it cannot split.
     Exceeds reference parity (the reference had no model/spatial
     parallelism at all)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -261,7 +271,8 @@ def make_train_step_spatial(spec, tc, sp_mesh, iter_size, *, weight_decay,
     axis = sp_mesh.axis_names[0]
     n_sp = sp_mesh.devices.size
     lr_mults, decay_mults = detector_mod.param_multipliers(spec)
-    loss_fn = _make_loss_fn(spec, tc, compute_dtype, None)
+    loss_fn = _make_loss_fn(spec, tc, compute_dtype, None,
+                            spatial_mesh=sp_mesh, spatial_axis=axis)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True, argnums=0)
     rep = NamedSharding(sp_mesh, P())
     shard_h = NamedSharding(sp_mesh, P(None, None, axis))

@@ -423,6 +423,50 @@ def test_spatial_stem_single_shard_mesh(stem_weights):
     np.testing.assert_array_equal(got, want)
 
 
+def test_spatial_stem_grad_exact_parity():
+    """jax.grad through fused_stem_spatial (the spatial-TRAINING stem
+    path) vs jax.grad through the unsharded fused_stem, with
+    small-integer inputs so every bf16 product and f32 accumulation is
+    exact: the per-shard backward kernel + psum must reproduce the
+    global backward term-for-term — including the cross-shard-boundary
+    dc1 terms (dy rows whose conv1_2 taps reach a neighbor's c1 rows)
+    and bucket padding whose valid extent lands mid-shard."""
+    from smallhardface_tpu.ops.pallas_stem import fused_stem_spatial
+    from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+
+    rng = np.random.RandomState(21)
+    w1 = jnp.asarray(rng.randint(-3, 4, (3, 3, 3, 64)).astype(np.float32))
+    b1 = jnp.asarray(rng.randint(-3, 4, (64,)).astype(np.float32))
+    w2 = jnp.asarray(rng.randint(-2, 3, (3, 3, 64, 64)).astype(np.float32))
+    b2 = jnp.asarray(rng.randint(-3, 4, (64,)).astype(np.float32))
+    B, H, W = 1, 64, 128
+    mesh = make_spatial_mesh(4)
+    for vh, vw in ((H, W), (40, 96)):     # full extent + mid-shard valid
+        x = rng.randint(-3, 4, (B, H, W, 3)).astype(np.float32)
+        x[:, vh:] = 9.0                  # garbage padding must not leak
+        x[:, :, vw:] = -4.0
+        dy = jnp.asarray(rng.randint(-3, 4, (B, H // 2, W // 2, 64))
+                         .astype(np.float32))
+        xj = jnp.asarray(x)
+        valid = (jnp.int32(vh), jnp.int32(vw))
+
+        def sp_loss(p):
+            out = fused_stem_spatial(xj, *p, mesh=mesh, valid_hw=valid,
+                                     interpret=INTERP)
+            return jnp.sum(out * dy)
+
+        def flat_loss(p):
+            out = fused_stem(xj, *p, valid_hw=valid, interpret=INTERP)
+            return jnp.sum(out * dy)
+
+        g_sp = jax.jit(jax.grad(sp_loss))((w1, b1, w2, b2))
+        g_flat = jax.grad(flat_loss)((w1, b1, w2, b2))
+        for name, a, b in zip(["dw1", "db1", "dw2", "db2"], g_sp, g_flat):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name} valid={vh, vw}")
+
+
 def test_flag_falls_back_silently_off_tpu():
     """default.toml contract: 'Engages when fp32 + bucketed shapes ...
     silently falls back otherwise.' On a non-TPU backend the Mosaic

@@ -419,6 +419,113 @@ def test_spatial_train_step_matches_single_device(tmp_path, train_cfg):
                 err_msg=f"{name}/{k2} diverged under spatial sharding")
 
 
+def test_spatial_train_step_pallas_stem(tmp_path, train_cfg):
+    """TPU.PALLAS_STEM_TRAIN in the SPATIAL train step: the fused stem's
+    spatial custom VJP (shard_map'd forward/backward kernels + psum'd
+    weight grads) must route — and with small-integer data/weights the
+    stem arithmetic is EXACT in both the Pallas (bf16 dots, f32 acc) and
+    XLA (fp32) paths, so the two spatial steps produce identical logits,
+    identical OHEM selections, and non-stem parameter updates that match
+    bit-for-bit; the four stem leaves match to bf16 rounding of the
+    (non-integer) incoming cotangent."""
+    from smallhardface_tpu.parallel.mesh import make_spatial_mesh
+    import smallhardface_tpu.ops.pallas_stem as ps
+
+    # train_cfg swaps in a skeletal backbone whose ("conv1", 8, 1) stage
+    # closes the kernel gate (the kernel hardcodes the real 64-ch 2-conv
+    # stem); restore the REAL stem, keep the rest skeletal for CPU speed
+    saved_stages = dm.VGG_STAGES
+    dm.VGG_STAGES = (("conv1", 64, 2),) + saved_stages[1:]
+
+    spec = dm.build_spec(cfg)
+    tc = tg.from_cfg(cfg)
+    rng = np.random.RandomState(5)
+    th = tw = 128                      # out bucket 128×128: W%128==0 and
+    sp = make_spatial_mesh(4)          # H ≥ 4·8·n — the kernel gate opens
+    samples = [{
+        "height": th, "width": tw,
+        "data": rng.randint(0, 7, (th, tw, 3), dtype=np.uint8),
+        "im_scale": 1.0, "crop": np.zeros(2, np.float32),
+        "gt_boxes": np.array([[10., 12., 60., 70., 1.],
+                              [64., 30., 120., 90., 1.]], np.float32),
+        "im_idx": 0,
+    }]
+    batch, _, bucket = train_loop.assemble_batch(
+        samples, 1, 1, list(cfg.TPU.MAX_GT_BUCKETS))
+    out_shape = (bucket[2], bucket[3])
+    assert out_shape == (128, 128)
+
+    params0 = dm.init_params(jax.random.PRNGKey(3), spec)
+    leaves, treedef = jax.tree_util.tree_flatten(params0)
+    params0 = jax.tree_util.tree_unflatten(treedef, [
+        rng.randint(-2, 3, l.shape).astype(np.float32)   # numpy: the
+        for l in leaves])       # donated step must not eat the originals
+
+    def run(use_pallas):
+        calls = []
+        orig = ps.fused_stem_spatial
+        old_flag = cfg.TPU.PALLAS_STEM_TRAIN
+        old_means = cfg.PIXEL_MEANS
+        cfg.TPU.PALLAS_STEM_TRAIN = use_pallas
+        cfg.PIXEL_MEANS = [3.0, 3.0, 3.0]   # integer x ∈ [-3, 3]
+        if use_pallas:
+            ps.TESTING_INTERPRET = True
+            ps.fused_stem_spatial = (
+                lambda *a, **k: calls.append(1) or orig(*a, **k))
+        try:
+            step = train_loop.make_train_step_spatial(
+                spec, tc, sp, 1, weight_decay=0.0005)
+            params, opt_state, metrics = step(
+                jax.tree_util.tree_map(jnp.asarray, params0),
+                solver.init_state(params0, "SGD"),
+                jnp.float32(0.004), jnp.int32(0), out_shape,
+                jnp.asarray(batch["data"]), jnp.asarray(batch["scale"]),
+                jnp.asarray(batch["crop"]), jnp.asarray(batch["gt"]),
+                jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
+                jnp.asarray(batch["valid_hw"]))
+            return jax.device_get(params), jax.device_get(metrics), calls
+        finally:
+            ps.TESTING_INTERPRET = False
+            ps.fused_stem_spatial = orig
+            cfg.TPU.PALLAS_STEM_TRAIN = old_flag
+            cfg.PIXEL_MEANS = old_means
+
+    try:
+        p_xla, m_xla, _ = run(False)
+        p_pal, m_pal, calls = run(True)
+    finally:
+        dm.VGG_STAGES = saved_stages
+    assert calls, "spatial train step did not route through the kernel"
+    # integer-exact stem arithmetic → identical logits → identical OHEM
+    # selections → identical loss (bit-identical when measured; allclose
+    # guards against cross-program fusion re-rounding of the deep layers)
+    np.testing.assert_allclose(
+        np.asarray(m_pal["cls_loss"]), np.asarray(m_xla["cls_loss"]),
+        rtol=1e-6, err_msg="stem paths changed the OHEM-selected loss")
+    stem = {"conv1_1", "conv1_2"}
+    for name, leaf in p_xla.items():
+        for k2, v in leaf.items():
+            got, want = np.asarray(p_pal[name][k2]), np.asarray(v)
+            if name in stem:
+                # dy into the stem backward is non-integer: the kernel's
+                # bf16 cast of dy vs XLA's fp32 leaves O(1e-3) relative
+                # noise on the stem grads, scaled by lr into the update
+                np.testing.assert_allclose(
+                    got, want, rtol=0, atol=2e-4 + 0.02 * np.abs(
+                        want - np.asarray(params0[name][k2])).max(),
+                    err_msg=f"{name}/{k2}")
+            else:
+                # the two steps are different compiled programs, so the
+                # (huge, integer-weight-inflated) fp32 reductions round in
+                # different orders; element-wise relative error misleads
+                # where terms nearly cancel — bound the difference by the
+                # LEAF's update magnitude instead (measured ≤ ~1e-6 of it)
+                upd = np.abs(want - np.asarray(params0[name][k2])).max()
+                np.testing.assert_allclose(
+                    got, want, rtol=0, atol=1e-4 * max(upd, 1.0),
+                    err_msg=f"{name}/{k2} beyond reduction-order noise")
+
+
 def test_train_net_spatial_mesh(tmp_path, train_cfg):
     """End-to-end train_net over a 4-device spatial mesh (one image's H
     sharded per step): runs, losses finite, snapshots written — the
