@@ -438,11 +438,16 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     # (lib/train.py:58-63, parallel.cpp:303-316).
     n_procs = jax.process_count()
     proc = jax.process_index()
-    if spatial and n_procs > 1:
-        raise NotImplementedError(
-            "spatial training is single-controller (one data rank); "
-            "unset TPU.SPATIAL_DEVICES for multi-host runs")
-    if n_procs > 1:
+    if n_procs > 1 and spatial:
+        # ONE data rank, many controllers: every process runs the SAME
+        # rank-0 loader (deterministic — RandomState(RNG_SEED + rank),
+        # and mining feedback derives from the replicated metrics, so
+        # the streams cannot diverge) and materializes only the H rows
+        # of the batch its addressable devices own (put_named below).
+        # The TPU analog of one data layer feeding a model-parallel
+        # group.
+        local_ranks = [0]
+    elif n_procs > 1:
         mesh_devs = list(mesh.devices.flat)
         local_ranks = [i for i, d in enumerate(mesh_devs)
                        if d.process_index == proc]
@@ -520,8 +525,11 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
 
     if n_procs > 1:
         from jax.sharding import NamedSharding
+        from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
         _rep_sharding = NamedSharding(mesh, P())
-        _data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        _data_sharding = (
+            NamedSharding(mesh, P(None, None, SPATIAL_AXIS)) if spatial
+            else NamedSharding(mesh, P(DATA_AXIS)))
 
         def _replicated_global(tree):
             """Host tree → fully-replicated global arrays over the
@@ -536,16 +544,29 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         params = _replicated_global(params)
         opt_state = _replicated_global(opt_state)
 
-        def put(x):
+        def put(k, x):
+            if spatial:
+                # every process holds the identical full batch (same
+                # rank-0 loader); the callback materializes only the
+                # H shards (k == "data") or one replica this process's
+                # devices address
+                arr = np.asarray(x)
+                sh = _data_sharding if k == "data" else _rep_sharding
+                return jax.make_array_from_callback(
+                    arr.shape, sh, lambda idx, a=arr: a[idx])
             return jax.make_array_from_process_local_data(_data_sharding, x)
     else:
-        put = jnp.asarray
+        put = lambda k, x: jnp.asarray(x)   # noqa: E731
 
     def _local_rows(v):
         """Rows of a P(DATA_AXIS) output owned by this process, in global
-        rank order (single-process: the whole array)."""
+        rank order (single-process: the whole array; spatial multi-host:
+        metrics come out replicated — any addressable shard is the
+        global value)."""
         if n_procs == 1:
             return np.asarray(v)
+        if spatial:
+            return np.asarray(v.addressable_shards[0].data)
         shards = sorted(v.addressable_shards,
                         key=lambda s: s.index[0].start or 0)
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
@@ -557,7 +578,9 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         import pickle
         states = pickle.loads(
             np.asarray(resume_extra["loader_state"]).tobytes())
-        if n_procs == 1 and len(states) == n_dev:
+        if (n_procs == 1 or spatial) and len(states) == n_dev:
+            # spatial multi-host: every process runs the same single
+            # rank-0 loader, so the one saved state restores everywhere
             for ld, st in zip(loaders, states):
                 ld.load_state_dict(st)
             logger.info("Restored sampler state for %d ranks", n_dev)
@@ -743,7 +766,7 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
                         batch["gt"], batch["gt_mask"], batch["im_hw"],
                         batch["valid_hw"])       # uploaded by the prefetch
         else:
-            dev_args = tuple(put(batch[k]) for k in (
+            dev_args = tuple(put(k, batch[k]) for k in (
                 "data", "scale", "crop", "gt", "gt_mask", "im_hw",
                 "valid_hw"))
         params, opt_state, metrics_dev = step(
@@ -776,9 +799,11 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             pass
         elif will_snap:
             import pickle
-            if n_procs > 1:
+            if n_procs > 1 and not spatial:
                 # process 0 only holds its own ranks' sampler state; a
-                # resume restarts samplers (warned at load)
+                # resume restarts samplers (warned at load). Spatial
+                # multi-host has ONE (identical-everywhere) rank-0
+                # loader, so its state IS the global sampler state.
                 extra = {}
             else:
                 extra = {"loader_state": np.frombuffer(

@@ -218,6 +218,117 @@ def test_two_process_train_matches_single_process(tmp_path):
             err_msg=f"{k}: 2-process result diverged from single-process")
 
 
+SPATIAL_TRAIN_CHILD = r"""
+import os
+import sys
+import numpy as np
+import cv2
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+img_dir, out_dir = sys.argv[1], sys.argv[2]
+
+from smallhardface_tpu.parallel import mesh as pm
+m = pm.make_spatial_mesh()          # ALL global devices, ONE image's H
+assert m.devices.size == 4, m.devices.size
+
+from smallhardface_tpu.config import cfg
+from smallhardface_tpu.models import detector as dm
+from smallhardface_tpu.train import train_loop
+
+cfg.TRAIN.SCALES.SHORT_SIDE = [64]
+cfg.TRAIN.SCALES.MAX_SIZE = 128
+train_loop.BUCKET = 32
+dm.VGG_STAGES = (
+    ("conv1", 8, 1), ("conv2", 8, 1), ("conv3", 16, 1),
+    ("conv4", 16, 1), ("conv5", 16, 1))
+cfg.TRAIN.AUGMENT.ENABLE = False
+cfg.TRAIN.ITERSIZE = 1
+cfg.TRAIN.SNAPSHOT = 100
+cfg.TPU.MAX_GT_BUCKETS = [8]
+cfg.MODEL.DIFFERENT_DILATION.ENABLE = True
+cfg.TRAIN.DISABLE_EASY_IMAGE.ENABLE = True
+cfg.TRAIN.DISABLE_EASY_IMAGE.SMOOTH = True
+
+roidb = []
+for i in range(4):
+    x1, y1 = 10 + 5 * i, 12
+    roidb.append({
+        "image": os.path.join(img_dir, f"im{i}.jpg"),
+        "flipped": False,
+        "boxes": np.array([[x1, y1, x1 + 23, y1 + 23]], np.float64),
+        "gt_classes": np.array([1], np.int32),
+        "width": 80, "height": 64,
+    })
+
+params = train_loop.train_net(roidb, out_dir, pretrained_model=None,
+                              max_iter=3, mesh=m)
+flat = {}
+for name, leaf in jax.device_get(params).items():
+    for k2, v in leaf.items():
+        flat[f"{name}/{k2}"] = np.asarray(v)
+np.savez(os.path.join(out_dir, f"params_out.p{jax.process_index()}.npz"),
+         **flat)
+print(f"CHILD_OK {jax.process_index()}")
+"""
+
+
+def test_two_process_spatial_train_matches_single_process(tmp_path):
+    """Multi-host SPATIAL training (the round-3 single-controller
+    restriction, lifted): 2 processes × 2 devices form one 4-device
+    spatial mesh over ONE image's H axis. Every process runs the same
+    rank-0 loader (deterministic stream) and materializes only its own
+    H rows; params must be bit-identical across the controllers and
+    match the 1-process × 4-device spatial run to reduction-order
+    tolerance (gloo cross-process halo exchanges / psums may associate
+    differently than the in-process ones)."""
+    import numpy as np
+    img_dir = str(tmp_path / "imgs")
+    _write_images(img_dir)
+
+    def run(n_procs, label):
+        out_dir = str(tmp_path / label)
+        os.makedirs(out_dir, exist_ok=True)
+        port = _free_port()
+        procs = []
+        for pid in range(n_procs):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                                f"{4 // n_procs}")
+            if n_procs > 1:
+                env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+                env["JAX_NUM_PROCESSES"] = str(n_procs)
+                env["JAX_PROCESS_ID"] = str(pid)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", SPATIAL_TRAIN_CHILD, img_dir,
+                 out_dir], cwd=REPO, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        for pid, p in enumerate(procs):
+            try:
+                out, err = p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0 and f"CHILD_OK {pid}" in out, (
+                f"{label} process {pid} rc={p.returncode}\n"
+                f"stdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}")
+        return [np.load(os.path.join(out_dir, f"params_out.p{pid}.npz"))
+                for pid in range(n_procs)]
+
+    single = run(1, "single_sp")[0]
+    multi0, multi1 = run(2, "multi_sp")
+    assert set(single.files) == set(multi0.files) == set(multi1.files)
+    for k in single.files:
+        np.testing.assert_array_equal(
+            multi0[k], multi1[k],
+            err_msg=f"{k}: controllers diverged from each other")
+        np.testing.assert_allclose(
+            multi0[k], single[k], rtol=5e-6, atol=5e-8,
+            err_msg=f"{k}: 2-process spatial diverged from single")
+
+
 SIGNAL_CHILD = r"""
 import glob
 import os
