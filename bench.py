@@ -64,9 +64,25 @@ def _images():
     rng = np.random.RandomState(0)
     sizes = [(768, 1024), (1024, 768), (683, 1024), (1024, 1530)]
     # 32 images (VERDICT r3 item 7: n_images >= 32 so single-image tunnel
-    # weather cannot swing the headline)
-    return [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
-            for h, w in sizes * 8], True
+    # weather cannot swing the headline), each stamped with 3 synthetic
+    # faces (scripts/synth_wider's generator): a saturated TRAINED model
+    # produces zero detections on pure noise, which would leave the
+    # device vote/NMS stage doing no real work — stamps keep the full
+    # detection path honest with trained and random weights alike
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import synth_wider
+    imgs = []
+    for i, (h, w) in enumerate(sizes * 8):
+        im = rng.randint(95, 125, (h, w, 3), dtype=np.uint8)
+        patches = synth_wider.make_images(3, 160, 1, seed=100 + i,
+                                          min_face=48, max_face=120)
+        for k, (p, _) in enumerate(patches):
+            y = (k + 1) * h // 4 - 80
+            x = (k + 1) * w // 4 - 80
+            im[y:y + 160, x:x + 160] = p
+        imgs.append(im)
+    return imgs, True
 
 
 def _key_flops(spec, key):
