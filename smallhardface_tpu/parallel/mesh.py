@@ -78,6 +78,23 @@ def make_spatial_mesh(num_devices: int = -1) -> Mesh:
     return make_mesh(num_devices, axis_name=SPATIAL_AXIS)
 
 
+def make_group_mesh(groups: int, spatial: int) -> Mesh:
+    """2-D (DATA_AXIS, SPATIAL_AXIS) mesh: `groups` data-parallel groups
+    of `spatial` chips, each group sharding one image's H axis — the
+    training analog of eval/serve's TPU.SPATIAL_DEVICES grouping (and the
+    scaling-book two-axis recipe: DP over the slower axis, the
+    halo-exchange-heavy spatial axis over contiguous devices so its
+    ppermutes ride neighbor ICI links)."""
+    maybe_init_distributed()
+    devs = jax.devices()
+    need = groups * spatial
+    assert len(devs) >= need, (
+        f"group mesh needs {groups}x{spatial}={need} devices, "
+        f"have {len(devs)}")
+    arr = np.array(devs[:need]).reshape(groups, spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
 def batch_spec() -> P:
     return P(DATA_AXIS)
 

@@ -126,14 +126,12 @@ def main():
                 v, _ = lf(params, out_shape, *x)
                 return acc + v.astype(jnp.float32), None
 
-            tot, _ = lax.scan(
-                micro,
-                lax.pcast(jnp.float32(0), (DATA_AXIS,), to="varying"), xs)
+            tot, _ = lax.scan(micro, jnp.float32(0), xs)
             return tot[None]
 
         return jax.jit(shard_map(
             device_fn, mesh=mesh, in_specs=in_specs,
-            out_specs=P(DATA_AXIS)))
+            out_specs=P(DATA_AXIS), check_vma=False))
 
     def make_grad_stage():
         lf = train_loop._make_loss_fn(spec, tc, None, DATA_AXIS)
@@ -146,14 +144,16 @@ def main():
                 (_, aux), g = grad_fn(params, out_shape, *x)
                 return jax.tree_util.tree_map(jnp.add, gsum, g), aux
 
-            g0 = jax.tree_util.tree_map(
-                lambda p: lax.pcast(jnp.zeros_like(p), (DATA_AXIS,),
-                                    to="varying"), params)
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
             gsum, _ = lax.scan(micro, g0, xs)
+            # check_vma=False keeps the transposed grads honest per-device
+            # partials so this psum is the one exact reduction (see
+            # make_train_step)
             return lax.psum(gsum, DATA_AXIS)
 
         return jax.jit(shard_map(
-            device_fn, mesh=mesh, in_specs=in_specs, out_specs=P()))
+            device_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
+            check_vma=False))
 
     fwd_flops = dm.forward_flops(spec, out_shape[0], out_shape[1])
     stages = [

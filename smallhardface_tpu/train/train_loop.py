@@ -204,15 +204,7 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 return gsum, aux
 
-            # varying-typed carry: XLA's transposed grads carry deferred
-            # psums (invariant-typed) but the Pallas stem VJP's outputs
-            # are honest per-device partials typed varying over the data
-            # axis; promoting the carry makes every leaf's scan type
-            # consistent either way (the psum below is the one reduction)
-            g0 = jax.tree_util.tree_map(
-                lambda p: lax.pcast(jnp.zeros_like(p), (DATA_AXIS,),
-                                    to="varying"),
-                params)
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
             gsum, auxes = lax.scan(
                 micro, g0, (data, scl, crp, gt, gt_mask, im_hw, valid_hw))
             gsum = lax.psum(gsum, DATA_AXIS)
@@ -226,10 +218,18 @@ def make_train_step(spec, tc, mesh, iter_size, *, weight_decay,
                        static_argnums=(4,))
     def step(params, opt_state, rate, iteration, out_shape, data, scl, crp,
              gt, gt_mask, im_hw, valid_hw):
+        # check_vma=False: with vma typing ON, jax 0.9's AD transposes
+        # grads of the replicated params to ALREADY-psum'd (invariant)
+        # values inside shard_map, so the explicit psum below would
+        # double-count by n_dev (proven against a single-device oracle,
+        # round 4; the Pallas stem VJP's grads stay honest partials
+        # either way, which is why mixed typing can't be psum'd
+        # uniformly). With vma OFF the transpose emits per-device
+        # partials for every leaf and the single psum is exact.
         sharded = shard_map(
             make_device_grads(out_shape), mesh=mesh,
             in_specs=(P(),) + (P(DATA_AXIS),) * 7,
-            out_specs=(P(), P(DATA_AXIS)))
+            out_specs=(P(), P(DATA_AXIS)), check_vma=False)
         grads, metrics = sharded(params, data, scl, crp, gt, gt_mask,
                                  im_hw, valid_hw)
         new_params, new_state = solver_mod.apply_update(
@@ -308,9 +308,104 @@ def make_train_step_spatial(spec, tc, sp_mesh, iter_size, *, weight_decay,
         out_shardings=(rep, rep, rep))
 
 
+def make_train_step_grouped(spec, tc, mesh2d, iter_size, *, weight_decay,
+                            momentum=0.9, compute_dtype=None,
+                            solver_type="SGD"):
+    """G data-parallel groups × K-way spatial sharding in ONE plain-jit
+    SPMD step over a 2-D (data, sp) mesh: data arrives (G, iter_size, H,
+    W, 3) with G sharded over 'data' and H over 'sp'. The per-image loss
+    (incl. its own valid extents and OHEM top-k) is vmapped over G — the
+    partitioner maps the vmapped batch dim onto the 'data' axis and
+    inserts the conv halo exchanges on 'sp', and the grads' mean over
+    G·iter_size becomes the cross-group reduce. This is the training
+    analog of eval/serve's TPU.SPATIAL_DEVICES grouping: with D devices
+    and SPATIAL_DEVICES=K, train_net forms G = D/K groups instead of
+    idling D−K chips on the pure-spatial mesh.
+
+    Structure: shard_map MANUAL over 'data' (the proven DP machinery —
+    each group sees its (1, iter_size, ...) slice, grads psum over
+    'data'), with 'sp' left AUTO so the SPMD partitioner shards each
+    image's H inside the group and inserts the conv halo exchanges in
+    forward AND transposed backward, exactly like make_train_step_spatial.
+    (A per-image jax.vmap under plain jit expresses the same program but
+    hard-crashes XLA's CPU SPMD partitioner — munmap_chunk abort — on
+    jax 0.9; the manual-data/auto-sp hybrid avoids batching the
+    partitioned convs entirely.) check_vma=False: with an auto axis in
+    play the varying-type inference of the scan carry mis-types some
+    grad leaves; the single psum below is the only cross-group
+    collective, so the safety net is not load-bearing here.
+
+    The fused Pallas stem stays OFF here (its spatial custom VJP is an
+    explicit shard_map over 'sp'; nesting that inside a manual-'data'
+    region with 'sp' auto is not supported) — grouped mode pays the XLA
+    stem chain, documented in default.toml. Exceeds reference parity
+    (no model/spatial parallelism upstream)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d_ax, s_ax = mesh2d.axis_names
+    G = mesh2d.shape[d_ax]
+    n_sp = mesh2d.shape[s_ax]
+    lr_mults, decay_mults = detector_mod.param_multipliers(spec)
+    loss_fn = _make_loss_fn(spec, tc, compute_dtype, None)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True, argnums=0)
+    rep = NamedSharding(mesh2d, P())
+    shard_data = NamedSharding(mesh2d, P(d_ax, None, s_ax))
+    shard_g = NamedSharding(mesh2d, P(d_ax))
+
+    def make_group_grads(out_shape):
+        def group_grads(params, data, scl, crp, gt, gt_mask, im_hw,
+                        valid_hw):
+            # manual over 'data': this group's (1, iter_size, ...) slice
+            data, scl, crp, gt = data[0], scl[0], crp[0], gt[0]
+            gt_mask, im_hw, valid_hw = gt_mask[0], im_hw[0], valid_hw[0]
+
+            def micro(gsum, xs):
+                (_, aux), g = grad_fn(params, out_shape, *xs)
+                return jax.tree_util.tree_map(jnp.add, gsum, g), aux
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+            gsum, auxes = lax.scan(
+                micro, g0, (data, scl, crp, gt, gt_mask, im_hw, valid_hw))
+            gsum = lax.psum(gsum, d_ax)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / (G * iter_size), gsum)
+            metrics = {k: v[None] for k, v in auxes.items()}   # (1, I)
+            return grads, metrics
+        return group_grads
+
+    def step_fn(params, opt_state, rate, iteration, out_shape, data, scl,
+                crp, gt, gt_mask, im_hw, valid_hw):
+        assert data.shape[0] == G and data.shape[2] % n_sp == 0, (
+            data.shape, G, n_sp)
+        sharded = shard_map(
+            make_group_grads(out_shape), mesh=mesh2d,
+            in_specs=(P(),) + (P(d_ax),) * 7,
+            out_specs=(P(), P(d_ax)),
+            axis_names={d_ax}, check_vma=False)
+        grads, metrics = sharded(params, data, scl, crp, gt, gt_mask,
+                                 im_hw, valid_hw)
+        new_params, new_state = solver_mod.apply_update(
+            params, grads, opt_state, solver_type=solver_type, rate=rate,
+            lr_mults=lr_mults, decay_mults=decay_mults,
+            weight_decay=weight_decay, momentum=momentum,
+            iteration=iteration)
+        return new_params, new_state, metrics
+
+    return jax.jit(
+        step_fn, donate_argnums=(0, 1), static_argnums=(4,),
+        in_shardings=(rep, rep, rep, rep, shard_data) + (shard_g,) * 6,
+        out_shardings=(rep, rep, shard_g))
+
+
 def _is_spatial_mesh(mesh):
     from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
     return mesh is not None and tuple(mesh.axis_names) == (SPATIAL_AXIS,)
+
+
+def _is_group_mesh(mesh):
+    from smallhardface_tpu.parallel.mesh import SPATIAL_AXIS
+    return (mesh is not None
+            and tuple(mesh.axis_names) == (DATA_AXIS, SPATIAL_AXIS))
 
 
 def _snap(v, bucket):
@@ -424,20 +519,42 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         # single-GPU unforked training (configs/default.toml:12)
         mesh = make_mesh(1)
     if mesh is None and int(cfg.TPU.SPATIAL_DEVICES) > 1:
-        # spatial training: every device works on ONE image's H shards
-        # (for resolutions whose activations exceed a chip's HBM); the
-        # loader feeds a single data rank
-        from smallhardface_tpu.parallel.mesh import make_spatial_mesh
-        mesh = make_spatial_mesh(int(cfg.TPU.SPATIAL_DEVICES))
+        # spatial training: groups of SPATIAL_DEVICES chips each work on
+        # ONE image's H shards (for resolutions whose activations exceed
+        # a chip's HBM). With more devices than one group, the groups
+        # stay data-parallel (make_train_step_grouped) — the same
+        # two-axis semantics eval/serve give this knob — instead of
+        # idling the surplus chips. Multi-host keeps the pure-spatial
+        # mesh (grouped feeding is single-controller for now).
+        from smallhardface_tpu.parallel.mesh import (make_spatial_mesh,
+                                                     make_group_mesh,
+                                                     maybe_init_distributed)
+        maybe_init_distributed()
+        k_sp = int(cfg.TPU.SPATIAL_DEVICES)
+        n_all = len(jax.devices())
+        if (jax.process_count() == 1 and n_all > k_sp
+                and n_all % k_sp == 0):
+            mesh = make_group_mesh(n_all // k_sp, k_sp)
+        else:
+            mesh = make_spatial_mesh(k_sp)
     mesh = mesh or make_mesh(int(cfg.TPU.NUM_DEVICES))
     spatial = _is_spatial_mesh(mesh)
-    n_dev = 1 if spatial else mesh.devices.size
+    grouped = _is_group_mesh(mesh)
+    n_dev = (1 if spatial
+             else mesh.shape[DATA_AXIS] if grouped
+             else mesh.devices.size)
     # Multi-controller topology: each process feeds ONLY the mesh rows its
     # addressable devices own (jax.make_array_from_process_local_data);
     # the reference's analog contract is one data layer per NCCL rank
     # (lib/train.py:58-63, parallel.cpp:303-316).
     n_procs = jax.process_count()
     proc = jax.process_index()
+    if n_procs > 1 and grouped:
+        raise NotImplementedError(
+            "grouped spatial training (2-D data x sp mesh) is "
+            "single-controller; multi-host runs use the pure-spatial "
+            "mesh (train_net builds it automatically when "
+            "TPU.SPATIAL_DEVICES is set) or plain DP")
     if n_procs > 1 and spatial:
         # ONE data rank, many controllers: every process runs the SAME
         # rank-0 loader (deterministic — RandomState(RNG_SEED + rank),
@@ -516,7 +633,9 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
     # TRAIN.AUTO_RESUME end-to-end — tests/test_auto_resume.py.
     fault_iter = int(os.environ.get("SHF_FAULT_ITER", "0") or 0)
 
-    step_maker = make_train_step_spatial if spatial else make_train_step
+    step_maker = (make_train_step_grouped if grouped
+                  else make_train_step_spatial if spatial
+                  else make_train_step)
     step = step_maker(
         spec, tc, mesh, iter_size,
         weight_decay=float(cfg.TRAIN.WEIGHT_DECAY),

@@ -526,6 +526,158 @@ def test_spatial_train_step_pallas_stem(tmp_path, train_cfg):
                     err_msg=f"{name}/{k2} beyond reduction-order noise")
 
 
+def test_dp_grad_scale_matches_unsharded_oracle(train_cfg):
+    """ABSOLUTE grad-scale check of the multi-device DP step: one SGD
+    step (momentum=0, wd=0, rate=1, lr-mult-normalized) must move every
+    trainable leaf by exactly the per-image MEAN gradient computed
+    WITHOUT any sharding. Guards the jax-0.9 shard_map semantics where
+    AD transposes grads of replicated params to already-psum'd values —
+    an explicit psum on top silently scales most leaves by n_dev (caught
+    round 4 by exactly this comparison; every prior parity test was
+    DP-vs-DP or DP-at-1-device and blind to it)."""
+    iter_size = 1
+    n_dev = 2
+    spec = dm.build_spec(cfg)
+    tc = tg.from_cfg(cfg)
+    rng = np.random.RandomState(11)
+    th, tw = 64, 80
+    samples = [{
+        "height": th, "width": tw,
+        "data": rng.randint(0, 255, (th, tw, 3), dtype=np.uint8),
+        "im_scale": 1.0, "crop": np.zeros(2, np.float32),
+        "gt_boxes": np.array([[8. + 5 * k, 10., 30. + 5 * k, 33., 1.]],
+                             np.float32),
+        "im_idx": k,
+    } for k in range(n_dev * iter_size)]
+    batch, _, bucket = train_loop.assemble_batch(
+        samples, n_dev, iter_size, list(cfg.TPU.MAX_GT_BUCKETS))
+    out_shape = (bucket[2], bucket[3])
+    params = dm.init_params(jax.random.PRNGKey(3), spec)
+
+    # oracle: unsharded per-image grads, averaged
+    loss_fn = train_loop._make_loss_fn(spec, tc, None, None)
+    gfn = jax.jit(jax.grad(lambda p, *a: loss_fn(p, out_shape, *a)[0]),
+                  static_argnums=())
+    gs = []
+    for d in range(n_dev):
+        for i in range(iter_size):
+            gs.append(jax.device_get(gfn(
+                params,
+                jnp.asarray(batch["data"][d, i]),
+                jnp.asarray(batch["scale"][d, i]),
+                jnp.asarray(batch["crop"][d, i]),
+                jnp.asarray(batch["gt"][d, i]),
+                jnp.asarray(batch["gt_mask"][d, i]),
+                jnp.asarray(batch["im_hw"][d, i]),
+                jnp.asarray(batch["valid_hw"][d, i]))))
+    oracle = jax.tree_util.tree_map(
+        lambda *ts: np.mean(np.stack(ts), 0), *gs)
+
+    step = train_loop.make_train_step(
+        spec, tc, make_mesh(n_dev), iter_size, weight_decay=0.0,
+        momentum=0.0)
+    opt_state = solver.init_state(params, "SGD")
+    p0 = jax.device_get(params)        # before: the step donates params
+    p1, _, _ = step(
+        params, opt_state, jnp.float32(1.0), jnp.int32(0),
+        out_shape, jnp.asarray(batch["data"]),
+        jnp.asarray(batch["scale"]), jnp.asarray(batch["crop"]),
+        jnp.asarray(batch["gt"]), jnp.asarray(batch["gt_mask"]),
+        jnp.asarray(batch["im_hw"]), jnp.asarray(batch["valid_hw"]))
+    p1 = jax.device_get(p1)
+    lr_mults, _ = dm.param_multipliers(spec)
+    for name, leaf in oracle.items():
+        for k, v in leaf.items():
+            mult = lr_mults[name][k]
+            if mult == 0.0:          # frozen leaf: no movement at all
+                np.testing.assert_array_equal(
+                    np.asarray(p1[name][k]), np.asarray(p0[name][k]),
+                    err_msg=f"{name}/{k} moved despite lr_mult=0")
+                continue
+            got = (np.asarray(p0[name][k]) - np.asarray(p1[name][k])) / mult
+            np.testing.assert_allclose(
+                got, np.asarray(v), rtol=2e-5, atol=1e-7,
+                err_msg=f"{name}/{k} grad scale wrong (n_dev double-psum?)")
+
+
+def test_grouped_train_step_matches_dp(tmp_path, train_cfg):
+    """make_train_step_grouped: 2 data-parallel groups × 2-way spatial
+    sharding on a 2-D (data, sp) mesh must match the plain 2-device DP
+    step on the same data to float32 reduction-order tolerance — the
+    per-image vmapped loss (own valid extents, own OHEM top-k) and the
+    grads' mean over G·iter_size reproduce the shard_map+psum semantics
+    under pure SPMD partitioning."""
+    from smallhardface_tpu.parallel.mesh import make_group_mesh
+    iter_size = 2
+    n_groups = 2
+    spec = dm.build_spec(cfg)
+    tc = tg.from_cfg(cfg)
+    rng = np.random.RandomState(7)
+    th, tw = 64, 80
+    samples = [{
+        "height": th, "width": tw,
+        "data": rng.randint(0, 255, (th, tw, 3), dtype=np.uint8),
+        "im_scale": 1.0, "crop": np.zeros(2, np.float32),
+        "gt_boxes": np.array([[8. + 3 * k, 10., 30. + 3 * k, 33., 1.],
+                              [40., 18. + 2 * k, 62., 42. + 2 * k, 1.]],
+                             np.float32),
+        "im_idx": k,
+    } for k in range(n_groups * iter_size)]
+    batch, _, bucket = train_loop.assemble_batch(
+        samples, n_groups, iter_size, list(cfg.TPU.MAX_GT_BUCKETS))
+    out_shape = (bucket[2], bucket[3])
+
+    def run(step):
+        params = dm.init_params(jax.random.PRNGKey(3), spec)
+        opt_state = solver.init_state(params, "SGD")
+        for it in range(2):
+            params, opt_state, metrics = step(
+                params, opt_state, jnp.float32(0.004), jnp.int32(it),
+                out_shape, jnp.asarray(batch["data"]),
+                jnp.asarray(batch["scale"]), jnp.asarray(batch["crop"]),
+                jnp.asarray(batch["gt"]), jnp.asarray(batch["gt_mask"]),
+                jnp.asarray(batch["im_hw"]), jnp.asarray(batch["valid_hw"]))
+        return jax.device_get(params), jax.device_get(metrics)
+
+    p_dp, m_dp = run(train_loop.make_train_step(
+        spec, tc, make_mesh(n_groups), iter_size, weight_decay=0.0005))
+    p_gr, m_gr = run(train_loop.make_train_step_grouped(
+        spec, tc, make_group_mesh(n_groups, 2), iter_size,
+        weight_decay=0.0005))
+
+    np.testing.assert_allclose(
+        np.asarray(m_gr["cls_loss"]), np.asarray(m_dp["cls_loss"]),
+        rtol=1e-5, atol=1e-6)
+    for name, leaf in p_dp.items():
+        for k2, v in leaf.items():
+            np.testing.assert_allclose(
+                np.asarray(p_gr[name][k2]), np.asarray(v),
+                rtol=5e-5, atol=5e-7,
+                err_msg=f"{name}/{k2} diverged under grouped sharding")
+
+
+def test_train_net_grouped_mesh(tmp_path, train_cfg):
+    """CLI surface of grouped training: TPU.SPATIAL_DEVICES=2 on the
+    8-device CPU mesh makes train_net build a 4-group × 2-spatial mesh
+    automatically (surplus chips become data-parallel groups instead of
+    idling); runs, losses finite, final weights written."""
+    roidb = _tiny_roidb(tmp_path)
+    out_dir = str(tmp_path / "out_gr")
+    os.makedirs(out_dir, exist_ok=True)
+    old = cfg.TPU.SPATIAL_DEVICES
+    cfg.TPU.SPATIAL_DEVICES = 2
+    losses = []
+    try:
+        train_loop.train_net(
+            roidb, out_dir, pretrained_model=None, max_iter=2,
+            progress_hook=lambda it, m: losses.append(
+                float(m["cls_loss"].mean())))
+    finally:
+        cfg.TPU.SPATIAL_DEVICES = old
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+    assert os.path.exists(os.path.join(out_dir, "final.npz"))
+
+
 def test_train_net_spatial_mesh(tmp_path, train_cfg):
     """End-to-end train_net over a 4-device spatial mesh (one image's H
     sharded per step): runs, losses finite, snapshots written — the
