@@ -247,6 +247,10 @@ def main():
         comp_wall += max(measure.wall(fn, fargs, reps=4) - rtt, 1e-9)
         comp_flops += _key_flops(spec, p["key"])
     compute_mfu = comp_flops / comp_wall / peak if comp_wall > 0 else None
+    # projected off-tunnel throughput: 1 / mean on-chip program wall per
+    # image (one distinct shape each measured once above) — what a
+    # non-tunneled chip would sustain (VERDICT r4 item 7)
+    compute_img_s = (len(seen_shapes) / comp_wall) if comp_wall > 0 else None
 
     # ---- pipelined pass: depth-3 async pipeline, one image per dispatch.
     # Two timed passes, best-of: the tunnel's throughput weather swings
@@ -313,6 +317,10 @@ def main():
         # for the bare forward; the full program adds decode/vote)
         "compute_mfu": (round(compute_mfu, 4)
                         if compute_mfu is not None else None),
+        # what a non-tunneled chip would do (1 / on-chip wall per image),
+        # next to the tunnel-limited headline
+        "compute_img_s": (round(compute_img_s, 3)
+                          if compute_img_s is not None else None),
         "model_tflops_per_image": round(
             total_flops / max(len(imgs), 1) / 1e12, 3) if total_flops else None,
         "precision": precision,

@@ -181,11 +181,20 @@ def _bisect_int8(spec, params, args, jax, jnp, dm):
     c8 = walls["int8"] - walls["null"]
     cf = walls["fp32"] - walls["null"]
     n_conv = sum(1 for nm in stages if not nm.startswith("pool"))
+    # derive per-conv strides from the stage walk itself (pool doubles),
+    # so a changed backbone (e.g. skeletal test stages) stays correct
+    conv_strides = []
+    ss = 2
+    for nm in stages:
+        if nm.startswith("pool"):
+            ss *= 2
+        else:
+            conv_strides.append(ss)
     flops = sum(2.0 * B * math.ceil(h / ss) * math.ceil(w / ss)
                 * np.prod(shapes[nm]["w"])
                 for nm, ss in zip(
                     [n for n in stages if not n.startswith("pool")],
-                    [2, 2, 4, 4, 4, 8, 8, 8, 16, 16, 16]))
+                    conv_strides))
     print(f"  CHAIN (round-robin, {n_conv} convs, B={B}): "
           f"int8 {c8*1e3:7.1f} ms ({flops/max(c8,1e-9)/1e12:.0f} TF/s)   "
           f"fp32 {cf*1e3:7.1f} ms ({flops/max(cf,1e-9)/1e12:.0f} TF/s)   "

@@ -866,9 +866,12 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
         # the snapshot write below.
         eff = actions if n_procs == 1 else agreed
         will_stop = bool(eff["stop"])
+        # pop = atomic read-and-clear w.r.t. the signal handler (one C
+        # call; the handler re-creates the key), so a SIGHUP landing
+        # mid-decision is never silently dropped
+        snap_req = bool(eff.pop("snapshot", False))
         will_snap = (it1 % int(cfg.TRAIN.SNAPSHOT) == 0
-                     or it1 == max_iter or eff["snapshot"] or will_stop)
-        eff["snapshot"] = False
+                     or it1 == max_iter or snap_req or will_stop)
         if not will_snap:
             # Sampler snapshot BEFORE the next prefetch mutates loader
             # state: a resume at iteration it+1 re-fetches exactly the
@@ -905,7 +908,9 @@ def train_net(roidb, output_dir, pretrained_model, max_iter,
             # overlap-free iteration per snapshot.
             process_metrics((it1, metrics_dev, im_idx, rate, bucket))
             loader_snapshot = [ld.state_dict() for ld in loaders]
-            if it + 1 < max_iter:
+            if it + 1 < max_iter and not will_stop:
+                # a stop-signal iteration breaks below; don't waste a
+                # batch fetch/upload during shutdown
                 pending = prefetch.submit(build_batch, it + 1)
         else:
             deferred = (it1, metrics_dev, im_idx, rate, bucket)

@@ -179,6 +179,38 @@ def test_fault_in_eval_relaunches_without_retraining(tmp_path):
         f"training must run exactly once, final.npz in {finals}")
 
 
+def test_argv_train_false_rewrites_both_spellings():
+    """The eval-phase relaunch must turn training off whichever way the
+    original command line spelled it — `--train=true` used to survive and
+    win in argparse, re-running the whole training (ADVICE r4)."""
+    import train_test as tt
+    # space-separated form
+    argv = ["py", "train_test.py", "--train", "true", "--test", "true",
+            "--amend", "A", "1"]
+    assert tt._argv_train_false(argv) == [
+        "py", "train_test.py", "--train", "false", "--test", "true",
+        "--amend", "A", "1"]
+    # =-form
+    argv = ["py", "train_test.py", "--train=true", "--test", "true",
+            "--amend", "A", "1"]
+    assert tt._argv_train_false(argv) == [
+        "py", "train_test.py", "--train=false", "--test", "true",
+        "--amend", "A", "1"]
+    # absent: inserted before --amend
+    argv = ["py", "train_test.py", "--test", "true", "--amend", "A", "1"]
+    assert tt._argv_train_false(argv) == [
+        "py", "train_test.py", "--train", "false", "--test", "true",
+        "--amend", "A", "1"]
+    # amend values are REMAINDER — never rewritten, even if they look
+    # like flags
+    argv = ["py", "train_test.py", "--train", "true", "--amend",
+            "LOG.CMD", "--train=true"]
+    out = tt._argv_train_false(argv)
+    assert out[out.index("--amend"):] == ["--amend", "LOG.CMD",
+                                          "--train=true"]
+    assert out[2:4] == ["--train", "false"]
+
+
 def test_device_fault_classifier():
     """Only device-RUNTIME faults are retryable; bugs re-raise."""
     import jax

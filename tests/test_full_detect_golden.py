@@ -401,17 +401,26 @@ def test_trained_full_protocol_matches_golden(trained_cfg):
     vote vs the independent torch-float64 + cv2 + numpy-float64 oracle.
     Trained scores are bimodal (far from the detect threshold), so the
     match must be essentially total."""
-    if not os.path.exists(GOLDEN_TRAINED):
-        pytest.skip("golden_detect_trained.npz not generated yet "
-                    "(RUN_TORCH_ORACLE=1 after a 60k schedule run)")
+    recipe = (
+        "to re-arm on a fresh machine: "
+        "(1) train: python train_test.py --train true --test false "
+        "--conf smallhardface_tpu/configs/smallhardface.toml "
+        "--amend DATA_DIR <synth_wider dir, scripts/synth_wider.py> "
+        "TRAIN.SCALES.SHORT_SIDE [400] EXP_DIR face_synth400, then copy "
+        "the run's final.npz to output/face_synth400/final.npz; "
+        "(2) regenerate the oracle fixture: RUN_TORCH_ORACLE=1 python -m "
+        "pytest tests/test_full_detect_golden.py -k regenerate_golden_"
+        "trained -q (tens of minutes, torch float64 on 1 core)")
     if not os.path.exists(TRAINED_WEIGHTS):
         pytest.skip("trained weights not on this machine "
-                    "(output/face_synth400/final.npz)")
+                    f"(output/face_synth400/final.npz) — {recipe}")
+    if not os.path.exists(GOLDEN_TRAINED):
+        pytest.skip(f"golden_detect_trained.npz not generated — {recipe}")
     blob = np.load(GOLDEN_TRAINED)
     if str(blob["weights_sha256"]) != _weights_sha():
-        pytest.skip("trained weights differ from the fixture's "
-                    "(sha256 mismatch) — regenerate with "
-                    "RUN_TORCH_ORACLE=1")
+        pytest.skip("trained weights (sha256 "
+                    f"{_weights_sha()[:12]}…) differ from the fixture's "
+                    f"({str(blob['weights_sha256'])[:12]}…) — {recipe}")
     golden = blob["dets"]
     im, spec, params = _trained_inputs()
     from smallhardface_tpu.detect import TPUDetector

@@ -76,8 +76,18 @@ def _auto_resume_budget(exc):
     left_env = os.environ.get("SHF_AUTO_RESUME_LEFT")
     left = int(left_env) if left_env is not None else \
         int(cfg.TRAIN.AUTO_RESUME)
-    if (left <= 0 or not _device_fault(exc)
-            or int(os.environ.get("JAX_NUM_PROCESSES", "1") or 1) > 1):
+    if left <= 0 or not _device_fault(exc):
+        return None
+    # Single-controller only: under multi-host, one process re-exec'ing
+    # solo would deadlock its peers' collectives — ask the runtime for
+    # the real process count (launch mechanisms don't all set the env
+    # var), falling back to the env var when the dead backend can't say.
+    try:
+        import jax
+        n_procs = jax.process_count()
+    except Exception:
+        n_procs = int(os.environ.get("JAX_NUM_PROCESSES", "1") or 1)
+    if n_procs > 1:
         return None
     return left
 
@@ -120,6 +130,25 @@ def _maybe_auto_resume_train(exc, output_dir):
     _exec_relaunch(argv, left - 1)
 
 
+def _argv_train_false(argv):
+    """Rewrite `argv` (argv[0] = interpreter) so the relaunch runs with
+    training off, handling both `--train true` and `--train=true`
+    spellings (the =-form would otherwise win in argparse over an
+    inserted pair and re-run the whole training from scratch).
+    Everything from --amend on is argparse REMAINDER — never touched."""
+    argv = list(argv)
+    limit = argv.index("--amend") if "--amend" in argv else len(argv)
+    eq_forms = [i for i in range(limit) if argv[i].startswith("--train=")]
+    for i in eq_forms:
+        argv[i] = "--train=false"
+    if "--train" in argv[:limit]:
+        argv[argv.index("--train") + 1] = "false"
+    elif not eq_forms:
+        # insert BEFORE any --amend: argparse's REMAINDER would swallow it
+        argv[2:2] = ["--train", "false"]
+    return argv
+
+
 def _maybe_auto_resume_test(exc):
     """On a device-runtime fault during EVALUATION, re-exec with
     --train false (training work, if any, is already on disk as
@@ -128,12 +157,7 @@ def _maybe_auto_resume_test(exc):
     left = _auto_resume_budget(exc)
     if left is None:
         raise exc
-    argv = [sys.executable] + list(sys.argv)
-    if "--train" in argv:
-        argv[argv.index("--train") + 1] = "false"
-    else:
-        # insert BEFORE any --amend: argparse's REMAINDER would swallow it
-        argv[2:2] = ["--train", "false"]
+    argv = _argv_train_false([sys.executable] + list(sys.argv))
     if "--amend" not in argv:
         argv.append("--amend")
     if cfg.TEST.MODEL:
