@@ -160,12 +160,18 @@ class TPUDetector:
 
         return jax.vmap(one)(probs, out["bbox_deltas"])
 
-    def _build_run(self, level_buckets, flip, vote_method):
+    def _build_run(self, level_buckets, flip, vote_method, _truncate=None):
         """Build the fused whole-pyramid device function: every level
         (+flip batch) from one uploaded raw image, through forward, decode,
         merge, and (optionally) the device NMS/vote. Shared by the
         single-image program (jit) and detect_many's batched program
-        (jit∘vmap)."""
+        (jit∘vmap).
+
+        _truncate (tools/pyramid_time.py only): cut the program after
+        "preproc" / "forward" / "decode", returning a scalar checksum that
+        depends on everything computed so far — the instrument for
+        attributing the fused program's wall per stage. None (production)
+        is byte-identical to before the hook existed."""
         spec = self.spec
         cd = self.compute_dtype
         mean = jnp.asarray(cfg.PIXEL_MEANS, jnp.float32).reshape(1, 1, 3)
@@ -214,6 +220,12 @@ class TPUDetector:
                     mirrored = jnp.take(resized, idx, axis=1)
                     ims.append(jnp.where(valid, mirrored, 0.0))
                 x = jnp.stack(ims, axis=0)
+                if _truncate == "preproc":
+                    # checksum stands in for (boxes, scores) so the
+                    # LEVEL_SERIAL barrier wiring above still applies
+                    all_boxes.append(jnp.zeros((1, 4), jnp.float32))
+                    all_scores.append(jnp.sum(x).reshape(1))
+                    continue
                 out = detector_mod.forward(
                     params, x, spec, compute_dtype=cd,
                     valid_hw=(valid_h[li] * detector_mod.FEAT_STRIDE,
@@ -229,6 +241,13 @@ class TPUDetector:
                     pallas_stem=bool(cfg.TPU.PALLAS_STEM),
                     spatial_mesh=self.spatial_mesh,
                     qstate=qstate)
+                if _truncate == "forward":
+                    leaves = jax.tree_util.tree_leaves(out)
+                    acc = sum(jnp.sum(lf.astype(jnp.float32))
+                              for lf in leaves)
+                    all_boxes.append(jnp.zeros((1, 4), jnp.float32))
+                    all_scores.append(acc.reshape(1))
+                    continue
                 boxes, scores, counts = self._decode_batch(
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
@@ -251,6 +270,13 @@ class TPUDetector:
                 all_scores.append(scores.reshape(-1))
             cat_boxes = jnp.concatenate(all_boxes, axis=0)
             cat_scores = jnp.concatenate(all_scores, axis=0)
+            if _truncate in ("preproc", "forward"):
+                return (jnp.sum(cat_scores).reshape(1, 1),
+                        jnp.int32(0))
+            if _truncate == "decode":
+                return ((jnp.sum(cat_boxes) + jnp.sum(
+                    jnp.where(jnp.isfinite(cat_scores), cat_scores, 0.0))
+                ).reshape(1, 1), jnp.int32(0))
             total = cat_scores.shape[0]
             # final host-level threshold (strictly greater, lib/test.py:163)
             keep = cat_scores > final_thresh

@@ -120,3 +120,39 @@ def test_level_serial_bit_identical(rng, many_cfg):
         cfg.TEST.PYRAMID_BASE_SIZE = old_base
     assert outs[True].shape[0] > 0
     np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_build_run_truncation_hook(rng, many_cfg):
+    """tools/pyramid_time.py's instrument: truncated variants of the fused
+    program compile and execute; the default (_truncate=None) is the
+    production program (covered by the golden tests) and the truncated
+    returns are scalar checksums with count 0."""
+    import jax.numpy as jnp
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(2), spec)
+    det = TPUDetector(params, spec)
+    im = rng.randint(0, 255, (50, 60, 3)).astype(np.uint8)
+    p = det._prep(im)
+    key = p["key"]
+    level_buckets, flip, vote_method = key[2], key[3], key[4]
+    fargs = (det.params, det.qstate, jnp.asarray(p["padded"]),
+             jnp.asarray(p["inv_fx"]), jnp.asarray(p["h_s"]),
+             jnp.asarray(p["w_s"]), jnp.asarray(p["vh"]),
+             jnp.asarray(p["vw"]), jnp.float32(cfg.TEST.SCORE_THRESH),
+             jnp.float32(0.05), jnp.float32(cfg.TEST.NMS_THRESH))
+    for st in ("preproc", "forward", "decode"):
+        out, n = jax.jit(det._build_run(level_buckets, flip, vote_method,
+                                        _truncate=st))(*fargs)
+        assert out.shape == (1, 1) and int(n) == 0
+        assert np.isfinite(np.asarray(out)).all(), st
+    # prefix bisection form: fewer levels, same stacked scalar inputs
+    out, n = jax.jit(det._build_run(level_buckets[:1], flip, vote_method,
+                                    _truncate="forward"))(*fargs)
+    assert out.shape == (1, 1) and int(n) == 0
+    # the untruncated build still matches the production detect() output
+    full, cnt = jax.jit(det._build_run(level_buckets, flip,
+                                       vote_method))(*fargs)
+    ref = det.detect(im, thresh=0.05)[0][0]
+    got = np.asarray(full)[:int(cnt)]
+    got = got[np.asarray(got[:, 4] > 0.05)]
+    assert got.shape[0] == ref.shape[0]
