@@ -180,6 +180,7 @@ class TPUDetector:
         vote_cap = self.vote_cap
 
         serial = bool(cfg.TPU.LEVEL_SERIAL)
+        flip_split_px = int(cfg.TPU.FLIP_SPLIT_PX)
 
         def run(params, qstate, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
                 score_thresh, final_thresh, nms_thresh):
@@ -226,21 +227,48 @@ class TPUDetector:
                     all_boxes.append(jnp.zeros((1, 4), jnp.float32))
                     all_scores.append(jnp.sum(x).reshape(1))
                     continue
-                out = detector_mod.forward(
-                    params, x, spec, compute_dtype=cd,
-                    valid_hw=(valid_h[li] * detector_mod.FEAT_STRIDE,
-                              valid_w[li] * detector_mod.FEAT_STRIDE),
-                    mask_mode=_mask_plan()[0],
-                    s2d_stem=bool(cfg.TPU.S2D_STEM),
-                    # under a spatial mesh the forward routes the stem
-                    # through fused_stem_spatial (shard_map + halo
-                    # exchange — the SPMD partitioner cannot split a
-                    # Pallas custom call) when the level bucket's H
-                    # divides n·8, and falls back to the XLA stem chain
-                    # otherwise
-                    pallas_stem=bool(cfg.TPU.PALLAS_STEM),
-                    spatial_mesh=self.spatial_mesh,
-                    qstate=qstate)
+                def _fwd(xx):
+                    return detector_mod.forward(
+                        params, xx, spec, compute_dtype=cd,
+                        valid_hw=(valid_h[li] * detector_mod.FEAT_STRIDE,
+                                  valid_w[li] * detector_mod.FEAT_STRIDE),
+                        mask_mode=_mask_plan()[0],
+                        s2d_stem=bool(cfg.TPU.S2D_STEM),
+                        # under a spatial mesh the forward routes the stem
+                        # through fused_stem_spatial (shard_map + halo
+                        # exchange — the SPMD partitioner cannot split a
+                        # Pallas custom call) when the level bucket's H
+                        # divides n·8, and falls back to the XLA stem
+                        # chain otherwise
+                        pallas_stem=bool(cfg.TPU.PALLAS_STEM),
+                        spatial_mesh=self.spatial_mesh,
+                        qstate=qstate)
+
+                if flip and hb * wb >= flip_split_px:
+                    # big levels: TWO serial batch-1 forwards instead of
+                    # one batch-2. Measured on the v5e (PERF_NOTES r5):
+                    # batch-2 convs at the big pyramid buckets run at
+                    # ~0.42 MFU vs 0.54-0.56 for batch-1 — two b1 passes
+                    # cost 40 ms where one b2 pass costs 52 ms at
+                    # 1536×1920. Below the threshold (the two smallest
+                    # WIDER levels) batch-2 stays cheaper. The barrier
+                    # serializes the passes so their activations never
+                    # coexist (same HBM discipline as LEVEL_SERIAL).
+                    out0 = _fwd(x[:1])
+                    if serial:
+                        tie = sum(jnp.sum(lf.astype(jnp.float32))
+                                  for lf in
+                                  jax.tree_util.tree_leaves(out0))
+                        x1 = lax.optimization_barrier(
+                            (x[1:], tie))[0]
+                    else:
+                        x1 = x[1:]
+                    out1 = _fwd(x1)
+                    out = jax.tree_util.tree_map(
+                        lambda a, b: jnp.concatenate([a, b], axis=0),
+                        out0, out1)
+                else:
+                    out = _fwd(x)
                 if _truncate == "forward":
                     leaves = jax.tree_util.tree_leaves(out)
                     acc = sum(jnp.sum(lf.astype(jnp.float32))
@@ -506,7 +534,7 @@ class TPUDetector:
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP),
                vote_method, mask_mode, bool(cfg.TPU.S2D_STEM),
                bool(cfg.TPU.PALLAS_STEM), self.qstate is not None,
-               bool(cfg.TPU.LEVEL_SERIAL))
+               bool(cfg.TPU.LEVEL_SERIAL), int(cfg.TPU.FLIP_SPLIT_PX))
         return {
             "padded": padded,
             "key": key,

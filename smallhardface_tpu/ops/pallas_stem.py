@@ -299,12 +299,34 @@ def fused_stem_spatial(x, w1, b1, w2, b2, mesh, axis="sp", valid_hw=None,
     return _stem_sp_op(mesh, axis, interpret, x, w1, b1, w2, b2, vh, vw)
 
 
+def _shard_ctx(mesh, axis):
+    """Mesh to hand the spatial shard_maps, plus whether we are NESTED
+    inside an already-manual region. The grouped train step
+    (train_loop.make_train_step_grouped) traces this op inside a
+    shard_map that is manual over 'data' with 'sp' auto; there jax
+    requires the inner shard_map to be built from the CONTEXT
+    AbstractMesh (whose 'data' axis is typed Manual), not the concrete
+    Mesh — and the nested region runs untyped (check_vma=False, no vma
+    annotation), matching the outer step's check_vma=False. Outside any
+    manual region (plain-jit spatial step, eval) the context mesh is
+    empty and the concrete mesh passes through unchanged."""
+    from jax.sharding import get_abstract_mesh, AxisType
+    ctx = get_abstract_mesh()
+    if (ctx is not None and getattr(ctx, "shape", None)
+            and axis in ctx.shape
+            and AxisType.Manual in getattr(ctx, "axis_types", ())):
+        return ctx, True
+    return mesh, False
+
+
 def _stem_sp_fwd_impl(mesh, axis, interpret, x, w1, b1, w2, b2, vh, vw):
     from jax.sharding import PartitionSpec as P
 
     B, H, W, C = x.shape
     n = mesh.shape[axis]
     Hs = H // n
+    sm_mesh, nested = _shard_ctx(mesh, axis)
+    untyped = interpret or nested
 
     def body(x_loc, w1, b1, w2, b2, vh, vw):
         i = jax.lax.axis_index(axis)
@@ -326,16 +348,16 @@ def _stem_sp_fwd_impl(mesh, axis, interpret, x, w1, b1, w2, b2, vh, vw):
         # as the training-DP stem call)
         out = fused_stem(x_ext, w1, b1, w2, b2, valid_hw=(r1, vw),
                          valid_r0=r0, interpret=interpret,
-                         vma=None if interpret else (axis,))
+                         vma=None if untyped else (axis,))
         # own pooled rows: ext pool rows [TH/2, TH/2 + Hs/2)
         return jax.lax.slice_in_dim(out, TH // 2, TH // 2 + Hs // 2,
                                     axis=1)
 
     return shard_map(
-        body, mesh=mesh,
+        body, mesh=sm_mesh,
         in_specs=(P(None, axis), P(), P(), P(), P(), P(), P()),
         out_specs=P(None, axis),
-        check_vma=not interpret)(x, w1, b1, w2, b2, vh, vw)
+        check_vma=not untyped)(x, w1, b1, w2, b2, vh, vw)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -357,6 +379,8 @@ def _stem_sp_vjp_bwd(mesh, axis, interpret, res, dy):
     B, H, W, _ = x.shape
     n = mesh.shape[axis]
     Hs = H // n
+    sm_mesh, nested = _shard_ctx(mesh, axis)
+    untyped = interpret or nested
 
     def body(x_loc, dy_loc, w1, b1, w2, b2, vh, vw):
         i = jax.lax.axis_index(axis)
@@ -382,15 +406,15 @@ def _stem_sp_vjp_bwd(mesh, axis, interpret, res, dy):
         w2taps = jnp.reshape(w2, (9, 64, 64))
         g = _stem_grad_call(xcf, dycf, w1col, b1c, w2taps_t, w2taps,
                             b2c, valid, interpret=interpret,
-                            vma=None if interpret else (axis,))
+                            vma=None if untyped else (axis,))
         return jax.tree_util.tree_map(
             lambda t: jax.lax.psum(t, axis), g)
 
     dw1, db1, dw2, db2 = shard_map(
-        body, mesh=mesh,
+        body, mesh=sm_mesh,
         in_specs=(P(None, axis), P(None, axis)) + (P(),) * 6,
         out_specs=(P(), P(), P(), P()),
-        check_vma=not interpret)(x, dy, w1, b1, w2, b2, vh, vw)
+        check_vma=not untyped)(x, dy, w1, b1, w2, b2, vh, vw)
     return (jnp.zeros_like(x), dw1, db1, dw2, db2,
             _np_float0_like(vh), _np_float0_like(vw))
 

@@ -335,10 +335,15 @@ def make_train_step_grouped(spec, tc, mesh2d, iter_size, *, weight_decay,
     grad leaves; the single psum below is the only cross-group
     collective, so the safety net is not load-bearing here.
 
-    The fused Pallas stem stays OFF here (its spatial custom VJP is an
-    explicit shard_map over 'sp'; nesting that inside a manual-'data'
-    region with 'sp' auto is not supported) — grouped mode pays the XLA
-    stem chain, documented in default.toml. Exceeds reference parity
+    With TPU.PALLAS_STEM_TRAIN the fused Pallas stem runs HERE TOO
+    (round-5 lift of the r4 restriction): fused_stem_spatial's fwd/bwd
+    shard_maps resolve the CONTEXT AbstractMesh (pallas_stem._shard_ctx)
+    — inside this step's manual-'data' region that mesh types 'data'
+    Manual, so the nested shard_map over 'sp' composes; the nested
+    region runs untyped (check_vma=False, no vma annotation), the same
+    discipline as this step itself. Each group's stem halos ppermute
+    over 'sp' within the group; weight-grad psums over 'sp' compose
+    with the outer grad psum over 'data'. Exceeds reference parity
     (no model/spatial parallelism upstream)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -346,7 +351,8 @@ def make_train_step_grouped(spec, tc, mesh2d, iter_size, *, weight_decay,
     G = mesh2d.shape[d_ax]
     n_sp = mesh2d.shape[s_ax]
     lr_mults, decay_mults = detector_mod.param_multipliers(spec)
-    loss_fn = _make_loss_fn(spec, tc, compute_dtype, None)
+    loss_fn = _make_loss_fn(spec, tc, compute_dtype, None,
+                            spatial_mesh=mesh2d, spatial_axis=s_ax)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True, argnums=0)
     rep = NamedSharding(mesh2d, P())
     shard_data = NamedSharding(mesh2d, P(d_ax, None, s_ax))

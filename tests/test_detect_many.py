@@ -122,6 +122,42 @@ def test_level_serial_bit_identical(rng, many_cfg):
     np.testing.assert_array_equal(outs[True], outs[False])
 
 
+def test_flip_split_matches_batched(rng, many_cfg):
+    """TPU.FLIP_SPLIT_PX: levels at or above the pixel threshold run the
+    flip pair as two serial batch-1 forwards instead of one batch-2
+    (measured ~25% faster at the big WIDER buckets on the v5e,
+    PERF_NOTES r5). Splitting the batch is a program-structure change
+    only — per-item conv results agree with the batched program to
+    compile tolerance, so detections must match near-bit-exactly, with
+    the LEVEL_SERIAL barrier both on and off."""
+    cfg.TEST.SCALES = [48, 96]
+    old_base = cfg.TEST.PYRAMID_BASE_SIZE
+    cfg.TEST.PYRAMID_BASE_SIZE = [48, 96]
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(2), spec)
+    im = rng.randint(0, 255, (50, 60, 3)).astype(np.uint8)
+    old_px = cfg.TPU.FLIP_SPLIT_PX
+    old_serial = cfg.TPU.LEVEL_SERIAL
+    outs = {}
+    try:
+        for serial in (True, False):
+            cfg.TPU.LEVEL_SERIAL = serial
+            for px in (1, 10 ** 9):        # 1 = split everywhere
+                cfg.TPU.FLIP_SPLIT_PX = px
+                outs[(serial, px)] = TPUDetector(params, spec).detect(
+                    im, thresh=0.05)[0][0]
+    finally:
+        cfg.TPU.FLIP_SPLIT_PX = old_px
+        cfg.TPU.LEVEL_SERIAL = old_serial
+        cfg.TEST.PYRAMID_BASE_SIZE = old_base
+    ref = outs[(True, 10 ** 9)]
+    assert ref.shape[0] > 0
+    for k, v in outs.items():
+        assert v.shape == ref.shape, (k, v.shape, ref.shape)
+        np.testing.assert_allclose(v, ref, rtol=1e-5, atol=1e-4,
+                                   err_msg=str(k))
+
+
 def test_build_run_truncation_hook(rng, many_cfg):
     """tools/pyramid_time.py's instrument: truncated variants of the fused
     program compile and execute; the default (_truncate=None) is the

@@ -526,6 +526,100 @@ def test_spatial_train_step_pallas_stem(tmp_path, train_cfg):
                     err_msg=f"{name}/{k2} beyond reduction-order noise")
 
 
+def test_grouped_train_step_pallas_stem(tmp_path, train_cfg):
+    """TPU.PALLAS_STEM_TRAIN in the GROUPED (data × sp) train step: the
+    stem's spatial shard_maps must nest inside the manual-'data' region
+    by resolving the context AbstractMesh (pallas_stem._shard_ctx — the
+    round-5 lift of the r4 'grouped pays the XLA stem' restriction).
+    Same exactness argument as the spatial test: small-integer data and
+    weights make the stem arithmetic exact in both paths, so the two
+    grouped steps agree on the loss and the non-stem updates to
+    reduction-order noise; stem leaves to the dy bf16-cast bound."""
+    from smallhardface_tpu.parallel.mesh import make_group_mesh
+    import smallhardface_tpu.ops.pallas_stem as ps
+
+    saved_stages = dm.VGG_STAGES
+    dm.VGG_STAGES = (("conv1", 64, 2),) + saved_stages[1:]
+
+    spec = dm.build_spec(cfg)
+    tc = tg.from_cfg(cfg)
+    rng = np.random.RandomState(9)
+    th = tw = 128                   # H=128 = 4·8·n_sp at n_sp=4: gate opens
+    n_groups, n_sp = 2, 4
+    mesh2d = make_group_mesh(n_groups, n_sp)
+    samples = [{
+        "height": th, "width": tw,
+        "data": rng.randint(0, 7, (th, tw, 3), dtype=np.uint8),
+        "im_scale": 1.0, "crop": np.zeros(2, np.float32),
+        "gt_boxes": np.array([[10. + 4 * k, 12., 60., 70., 1.],
+                              [64., 30., 120., 90. - 4 * k, 1.]],
+                             np.float32),
+        "im_idx": k,
+    } for k in range(n_groups)]
+    batch, _, bucket = train_loop.assemble_batch(
+        samples, n_groups, 1, list(cfg.TPU.MAX_GT_BUCKETS))
+    out_shape = (bucket[2], bucket[3])
+    assert out_shape == (128, 128)
+
+    params0 = dm.init_params(jax.random.PRNGKey(3), spec)
+    leaves, treedef = jax.tree_util.tree_flatten(params0)
+    params0 = jax.tree_util.tree_unflatten(treedef, [
+        rng.randint(-2, 3, l.shape).astype(np.float32) for l in leaves])
+
+    def run(use_pallas):
+        calls = []
+        orig = ps.fused_stem_spatial
+        old_flag = cfg.TPU.PALLAS_STEM_TRAIN
+        old_means = cfg.PIXEL_MEANS
+        cfg.TPU.PALLAS_STEM_TRAIN = use_pallas
+        cfg.PIXEL_MEANS = [3.0, 3.0, 3.0]   # integer x ∈ [-3, 3]
+        if use_pallas:
+            ps.TESTING_INTERPRET = True
+            ps.fused_stem_spatial = (
+                lambda *a, **k: calls.append(1) or orig(*a, **k))
+        try:
+            step = train_loop.make_train_step_grouped(
+                spec, tc, mesh2d, 1, weight_decay=0.0005)
+            params, opt_state, metrics = step(
+                jax.tree_util.tree_map(jnp.asarray, params0),
+                solver.init_state(params0, "SGD"),
+                jnp.float32(0.004), jnp.int32(0), out_shape,
+                jnp.asarray(batch["data"]), jnp.asarray(batch["scale"]),
+                jnp.asarray(batch["crop"]), jnp.asarray(batch["gt"]),
+                jnp.asarray(batch["gt_mask"]), jnp.asarray(batch["im_hw"]),
+                jnp.asarray(batch["valid_hw"]))
+            return jax.device_get(params), jax.device_get(metrics), calls
+        finally:
+            ps.TESTING_INTERPRET = False
+            ps.fused_stem_spatial = orig
+            cfg.TPU.PALLAS_STEM_TRAIN = old_flag
+            cfg.PIXEL_MEANS = old_means
+
+    try:
+        p_xla, m_xla, _ = run(False)
+        p_pal, m_pal, calls = run(True)
+    finally:
+        dm.VGG_STAGES = saved_stages
+    assert calls, "grouped train step did not route through the kernel"
+    np.testing.assert_allclose(
+        np.asarray(m_pal["cls_loss"]), np.asarray(m_xla["cls_loss"]),
+        rtol=1e-6, err_msg="stem paths changed the OHEM-selected loss")
+    stem = {"conv1_1", "conv1_2"}
+    for name, leaf in p_xla.items():
+        for k2, v in leaf.items():
+            got, want = np.asarray(p_pal[name][k2]), np.asarray(v)
+            if name in stem:
+                np.testing.assert_allclose(
+                    got, want, rtol=0, atol=2e-4 + 0.02 * np.abs(
+                        want - np.asarray(params0[name][k2])).max(),
+                    err_msg=f"{name}/{k2}")
+            else:
+                upd = np.abs(want - np.asarray(params0[name][k2])).max()
+                np.testing.assert_allclose(
+                    got, want, rtol=0, atol=1e-4 * max(upd, 1.0),
+                    err_msg=f"{name}/{k2} beyond reduction-order noise")
+
+
 def test_dp_grad_scale_matches_unsharded_oracle(train_cfg):
     """ABSOLUTE grad-scale check of the multi-device DP step: one SGD
     step (momentum=0, wd=0, rate=1, lr-mult-normalized) must move every
