@@ -19,6 +19,28 @@ def test_parse_log_with_and_without_smoothed(tmp_path):
     assert rows[0]["smoothed_loss"] == 0.62
     np.testing.assert_allclose(rows[1]["smoothed_loss"], 0.48)  # = total
     assert rows[1]["speed_iter_per_s"] == 2.6
+    assert rows[0]["bucket"] == "(128, 256, 8)"
+    assert rows[0]["wall_ts"] is None  # short "08-16" stamp: no wall time
+
+
+def test_parse_log_bucket_summary(tmp_path):
+    from smallhardface_tpu.tools.parse_log import bucket_summary, parse
+    log = tmp_path / "stderr.log"
+    tmpl = ("08-20-2026:04:0{m}:00,000 INFO [train_loop.py:845] "
+            "iter {it}/100 cls_loss: 0.4 reg_loss: 0.1 accuracy: 0.9 "
+            "lr: 4.00e-03 bucket: {b} speed: 1.0 iter/s ETA: 0:01\n")
+    log.write_text(
+        tmpl.format(m=1, it=20, b="(512, 512, 64)")
+        + tmpl.format(m=2, it=40, b="(896, 896, 64)")
+        + tmpl.format(m=3, it=60, b="(512, 512, 64)"))
+    s = bucket_summary(parse(str(log)))
+    assert s["lines"] == 3
+    assert s["buckets"]["(512, 512, 64)"]["lines"] == 2
+    assert s["buckets"]["(896, 896, 64)"]["lines"] == 1
+    # 20 iters per 60 s window
+    for w in s["windowed_iter_per_s"]:
+        np.testing.assert_allclose(w["iter_per_s"], 20 / 60.0)
+    np.testing.assert_allclose(s["steady_state_iter_per_s"], 20 / 60.0)
 
 
 def test_compare_dets_symmetric():
