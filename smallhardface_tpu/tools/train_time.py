@@ -199,6 +199,27 @@ def main():
           f"Δ {(t_step-walls['backward'])*1e3:6.1f} ms (solver update)",
           flush=True)
 
+    # ---- compile-time HBM for this bucket's program (the hbm_probe.py
+    # convention: temp + args + out; donation aliases params/opt in the
+    # live loop so the loop's true peak is lower by the aliased bytes)
+    hbm = {}
+    try:
+        mem = step.lower(p, s, np.float32(0.004), np.int32(0), out_shape,
+                         *dargs).compile().memory_analysis()
+        hbm = {
+            "hbm_temp_mb": round(mem.temp_size_in_bytes / 1e6, 1),
+            "hbm_args_mb": round(mem.argument_size_in_bytes / 1e6, 1),
+            "hbm_out_mb": round(mem.output_size_in_bytes / 1e6, 1),
+            "hbm_peak_mb": round(
+                (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                 + mem.output_size_in_bytes) / 1e6, 1),
+        }
+        print(f"  HBM @ bucket {out_shape}: temp {hbm['hbm_temp_mb']} MB, "
+              f"args {hbm['hbm_args_mb']} MB, out {hbm['hbm_out_mb']} MB "
+              f"-> peak {hbm['hbm_peak_mb']} MB", flush=True)
+    except Exception as e:                          # CPU backends may not
+        print(f"  HBM analysis unavailable: {e}", flush=True)
+
     # ---- metrics D2H: the loop's synchronous full-dict readback
     ms = []
     for i in range(args.reps):
@@ -226,6 +247,7 @@ def main():
         "train_tflops_s": round(tfs, 1),
         "train_mfu_197": round(tfs / 197.0, 3),
         "img_per_s_compute": round(iter_size / compute, 2),
+        **hbm,
     }), flush=True)
 
 
