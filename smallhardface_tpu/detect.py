@@ -146,21 +146,18 @@ class TPUDetector:
         self.qstate = None
 
     def _decode_batch(self, out, im_h, im_w, valid_h, valid_w, min_size,
-                      score_thresh):
+                      score_thresh, fast_k=0):
         probs = jax.nn.softmax(out["cls_logits"], axis=-1)[..., 1]
+        return decode_mod.decode_proposals_batch(
+            probs, out["bbox_deltas"], self.base_anchors,
+            feat_stride=detector_mod.FEAT_STRIDE,
+            im_h=im_h, im_w=im_w,
+            valid_h=valid_h, valid_w=valid_w,
+            score_thresh=score_thresh, min_size=min_size,
+            capacity=self.capacity, fast_k=fast_k)
 
-        def one(p, d):
-            return decode_mod.decode_proposals(
-                p, d, self.base_anchors,
-                feat_stride=detector_mod.FEAT_STRIDE,
-                im_h=im_h, im_w=im_w,
-                valid_h=valid_h, valid_w=valid_w,
-                score_thresh=score_thresh, min_size=min_size,
-                capacity=self.capacity)
-
-        return jax.vmap(one)(probs, out["bbox_deltas"])
-
-    def _build_run(self, level_buckets, flip, vote_method, _truncate=None):
+    def _build_run(self, level_buckets, flip, vote_method, _truncate=None,
+                   fast_decode=True):
         """Build the fused whole-pyramid device function: every level
         (+flip batch) from one uploaded raw image, through forward, decode,
         merge, and (optionally) the device NMS/vote. Shared by the
@@ -181,6 +178,10 @@ class TPUDetector:
 
         serial = bool(cfg.TPU.LEVEL_SERIAL)
         flip_split_px = int(cfg.TPU.FLIP_SPLIT_PX)
+        # threshold-aware per-level top-k (ops/decode.py): disabled in the
+        # batched program (fast_decode=False — under vmap the cond becomes
+        # a select that pays both branches)
+        fast_k = int(cfg.TPU.DECODE_FAST_K) if fast_decode else 0
 
         def run(params, qstate, raw_u8, inv_fx, h_s, w_s, valid_h, valid_w,
                 score_thresh, final_thresh, nms_thresh):
@@ -280,7 +281,7 @@ class TPUDetector:
                     out, h_s[li].astype(jnp.float32),
                     w_s[li].astype(jnp.float32),
                     valid_h[li], valid_w[li],
-                    jnp.float32(0.0), score_thresh)
+                    jnp.float32(0.0), score_thresh, fast_k=fast_k)
                 # device-side merge: back to original-image space; mask
                 # rows beyond each batch item's keep count
                 slot = jnp.arange(boxes.shape[1])
@@ -408,7 +409,8 @@ class TPUDetector:
                 pallas_stem=bool(cfg.TPU.PALLAS_STEM),
                 qstate=qstate)
             return self._decode_batch(out, im_h, im_w, valid_h, valid_w,
-                                      min_size, score_thresh)
+                                      min_size, score_thresh,
+                                      fast_k=int(cfg.TPU.DECODE_FAST_K))
 
         fn = jax.jit(run)
         self._compiled[shape] = fn
@@ -590,7 +592,10 @@ class TPUDetector:
         if len(self._compiled_dev) >= self._max_programs:
             self._compiled_dev.popitem(last=False)
         level_buckets, flip, vote_method = key[2], key[3], key[4]
-        run = self._build_run(level_buckets, flip, vote_method)
+        # fast_decode off: vmap turns the fast-k cond into a select that
+        # executes BOTH branches — the full top_k would run anyway
+        run = self._build_run(level_buckets, flip, vote_method,
+                              fast_decode=False)
         fn = jax.jit(jax.vmap(
             run, in_axes=(None, None, 0, 0, 0, 0, 0, 0, None, None, None)))
         self._compiled_dev[bkey] = fn

@@ -62,6 +62,23 @@ def decode_proposals(fg_scores, bbox_deltas, base_anchors, *,
       stride s live only at grid positions divisible by s
     Returns (boxes (capacity, 4), scores (capacity,), n_keep scalar int32).
     """
+    boxes, sortable, n_keep, capacity = _decode_fields(
+        fg_scores, bbox_deltas, base_anchors, feat_stride=feat_stride,
+        im_h=im_h, im_w=im_w, valid_h=valid_h, valid_w=valid_w,
+        score_thresh=score_thresh, min_size=min_size, capacity=capacity,
+        refine_deltas=refine_deltas, anchor_strides=anchor_strides)
+    top_scores, top_idx = lax.top_k(sortable, capacity)
+    top_boxes = boxes[top_idx]
+    return top_boxes, top_scores, n_keep
+
+
+def _decode_fields(fg_scores, bbox_deltas, base_anchors, *,
+                   feat_stride, im_h, im_w, valid_h, valid_w,
+                   score_thresh, min_size, capacity,
+                   refine_deltas=None, anchor_strides=None):
+    """Elementwise half of decode_proposals: decoded+clipped boxes
+    (flattened (hwA, 4)), the keepability-masked score vector, and the
+    clamped keep count — everything before the top-k selection."""
     h, w, A = fg_scores.shape
     anchors = dense_anchor_grid(h, w, np.asarray(base_anchors), feat_stride)
     boxes = bbox_jax.bbox_transform_inv(anchors, bbox_deltas)
@@ -91,10 +108,75 @@ def decode_proposals(fg_scores, bbox_deltas, base_anchors, *,
     sortable = jnp.where(keepable, fg_scores, -jnp.inf).reshape(-1)
     n_above = jnp.sum(sortable >= score_thresh).astype(jnp.int32)
     n_keep = jnp.clip(n_above, 1, capacity)
+    return boxes.reshape(-1, 4), sortable, n_keep, capacity
 
-    top_scores, top_idx = lax.top_k(sortable, capacity)
-    top_boxes = boxes.reshape(-1, 4)[top_idx]
-    return top_boxes, top_scores, n_keep
+
+def decode_proposals_batch(fg_scores, bbox_deltas, base_anchors, *,
+                           feat_stride, im_h, im_w, valid_h, valid_w,
+                           score_thresh, min_size, capacity, fast_k=0):
+    """Batched decode_proposals (leading batch axis on fg_scores/deltas)
+    with an optional threshold-aware fast top-k.
+
+    fast_k <= 0 (or >= effective capacity): exactly
+    vmap(decode_proposals) — one lax.top_k(capacity) per batch item.
+
+    fast_k > 0: rows beyond n_keep are masked/sliced away by every
+    caller (detect.py row_ok mask; forward_scale's [:count] host slice),
+    and top_k(x, k1)[i] == top_k(x, k2)[i] for i < k1 <= k2 (same sort,
+    same index tie-break) — so when EVERY batch item's above-threshold
+    count fits in fast_k, a top_k(fast_k) padded out to capacity is
+    bitwise-identical on all live rows at a fraction of the sort cost
+    (the per-level top-k chains were ~half the fused pyramid's
+    decode+merge stage, PERF_NOTES r5). A lax.cond keeps the full
+    top_k(capacity) path for the rare overflow (crowded images / random
+    weights), preserving the N_DETS_PER_MODULE cap semantics exactly.
+    NB: keep the cond out of vmap (it becomes a select that pays BOTH
+    branches) — detect.py's batched program passes fast_k=0.
+    """
+    _, h, w, A = fg_scores.shape
+    cap = min(int(capacity), h * w * A)
+
+    def prep(p, d):
+        bx, s, n, _ = _decode_fields(
+            p, d, base_anchors, feat_stride=feat_stride,
+            im_h=im_h, im_w=im_w, valid_h=valid_h, valid_w=valid_w,
+            score_thresh=score_thresh, min_size=min_size,
+            capacity=capacity)
+        return bx, s, n
+
+    boxes_b, sortable_b, n_keep_b = jax.vmap(prep)(fg_scores, bbox_deltas)
+
+    def full_sel(args):
+        sortable, boxes = args
+
+        def one(s, bx):
+            ts, ti = lax.top_k(s, cap)
+            return bx[ti], ts
+
+        return jax.vmap(one)(sortable, boxes)
+
+    if fast_k <= 0 or fast_k >= cap:
+        top_boxes, top_scores = full_sel((sortable_b, boxes_b))
+        return top_boxes, top_scores, n_keep_b
+
+    def fast_sel(args):
+        sortable, boxes = args
+
+        def one(s, bx):
+            ts, ti = lax.top_k(s, fast_k)
+            pad_s = jnp.full((cap - fast_k,), -jnp.inf, ts.dtype)
+            pad_b = jnp.zeros((cap - fast_k, 4), bx.dtype)
+            return (jnp.concatenate([bx[ti], pad_b], axis=0),
+                    jnp.concatenate([ts, pad_s], axis=0))
+
+        return jax.vmap(one)(sortable, boxes)
+
+    # n_keep counts >= score_thresh entries (clamped to >= 1): every live
+    # row fits in fast_k iff all n_keep <= fast_k
+    fits = jnp.all(n_keep_b <= fast_k)
+    top_boxes, top_scores = lax.cond(fits, fast_sel, full_sel,
+                                     (sortable_b, boxes_b))
+    return top_boxes, top_scores, n_keep_b
 
 
 def decode_proposals_train(fg_scores, bbox_deltas, base_anchors, *,

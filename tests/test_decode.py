@@ -125,6 +125,77 @@ def test_decode_subsampled_strides(rng):
     assert int(n) == 64 + 16 + 4
 
 
+def test_decode_batch_fast_k_bitwise_prefix(rng):
+    """decode_proposals_batch(fast_k=K) is bitwise-identical to the full
+    top-k path on every live row (slot < n_keep), on BOTH cond branches:
+    a low-score batch takes the fast top_k(K)+pad branch, a dense batch
+    overflows K and falls back to top_k(capacity)."""
+    h, w, cap, K = 6, 9, 50, 8
+    kw = dict(feat_stride=8, im_h=float(8 * h - 3), im_w=float(8 * w - 5),
+              valid_h=h, valid_w=w, score_thresh=0.5, min_size=0.0,
+              capacity=cap)
+    deltas = (rng.randn(2, h, w, 3, 4) * 0.3).astype(np.float32)
+
+    # fast branch: few above threshold in both items
+    fg_sparse = rng.uniform(0, 0.4, (2, h, w, 3)).astype(np.float32)
+    fg_sparse[0, 2, 3, 1] = 0.9
+    fg_sparse[0, 4, 1, 0] = 0.7
+    fg_sparse[1, 1, 5, 2] = 0.8
+    # fallback branch: item 1 overflows K above-threshold entries
+    fg_dense = rng.uniform(0.6, 1.0, (2, h, w, 3)).astype(np.float32)
+
+    for fg in (fg_sparse, fg_dense):
+        ref_b, ref_s, ref_n = decode.decode_proposals_batch(
+            jnp.asarray(fg), jnp.asarray(deltas), BASE, fast_k=0, **kw)
+        got_b, got_s, got_n = decode.decode_proposals_batch(
+            jnp.asarray(fg), jnp.asarray(deltas), BASE, fast_k=K, **kw)
+        np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(got_n))
+        for i in range(2):
+            n = int(ref_n[i])
+            np.testing.assert_array_equal(np.asarray(ref_s[i, :n]),
+                                          np.asarray(got_s[i, :n]))
+            np.testing.assert_array_equal(np.asarray(ref_b[i, :n]),
+                                          np.asarray(got_b[i, :n]))
+    # sanity on the branch coverage: sparse fits in K, dense overflows
+    assert int(jnp.max(decode.decode_proposals_batch(
+        jnp.asarray(fg_sparse), jnp.asarray(deltas), BASE,
+        fast_k=0, **kw)[2])) <= K
+    assert int(jnp.max(decode.decode_proposals_batch(
+        jnp.asarray(fg_dense), jnp.asarray(deltas), BASE,
+        fast_k=0, **kw)[2])) > K
+
+
+def test_detect_fast_decode_matches_off():
+    """End-to-end: the fused pyramid program with TPU.DECODE_FAST_K
+    engaged (high score threshold → the fast branch actually runs)
+    produces exactly the detections of the disabled path."""
+    from smallhardface_tpu.config import cfg
+    from smallhardface_tpu.detect import TPUDetector
+    from smallhardface_tpu.models import detector as dm
+
+    old = (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+           cfg.TPU.DECODE_FAST_K, cfg.TEST.SCORE_THRESH)
+    cfg.TEST.SCALES = [60, 100]
+    cfg.TEST.FLIP = True
+    cfg.TPU.TEST_BUCKET = 64
+    cfg.TEST.SCORE_THRESH = 0.9   # random weights: few anchors above
+    try:
+        spec = dm.ModelSpec(different_dilation=True)
+        params = dm.init_params(jax.random.PRNGKey(0), spec)
+        im = (np.random.RandomState(0).uniform(0, 255, (120, 160, 3))
+              .astype(np.uint8))
+        dets = {}
+        for fast_k in (0, 64, 1):   # off / fast branch / forced fallback
+            cfg.TPU.DECODE_FAST_K = fast_k
+            det = TPUDetector(params, spec)
+            dets[fast_k] = det.detect(im, thresh=0.05)[0][0]
+        np.testing.assert_array_equal(dets[0], dets[64])
+        np.testing.assert_array_equal(dets[0], dets[1])
+    finally:
+        (cfg.TEST.SCALES, cfg.TEST.FLIP, cfg.TPU.TEST_BUCKET,
+         cfg.TPU.DECODE_FAST_K, cfg.TEST.SCORE_THRESH) = old
+
+
 def test_detect_end_to_end_smoke():
     from smallhardface_tpu.config import cfg
     from smallhardface_tpu.detect import TPUDetector
