@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--weights", default="",
                     help="weights .npz/.caffemodel (default: newest "
                          "output/**/final.npz, else bg-biased random)")
+    ap.add_argument("--fast-k", type=int, default=None,
+                    help="override TPU.DECODE_FAST_K (0 = full top-k)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +61,8 @@ def main():
     from smallhardface_tpu.config import cfg, cfg_from_file
     cfg_from_file(os.path.join(
         REPO, "smallhardface_tpu", "configs", "smallhardface.toml"))
+    if args.fast_k is not None:
+        cfg.TPU.DECODE_FAST_K = args.fast_k
 
     from smallhardface_tpu.detect import TPUDetector
     from smallhardface_tpu.models import detector as dm
