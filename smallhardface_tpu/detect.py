@@ -387,7 +387,8 @@ class TPUDetector:
         with margin buckets."""
         shape = shape + (_mask_plan()[0], bool(cfg.TPU.S2D_STEM),
                          bool(cfg.TPU.PALLAS_STEM),
-                         self.qstate is not None)
+                         self.qstate is not None,
+                         int(cfg.TPU.DECODE_FAST_K))
         if shape in self._compiled:
             self._compiled.move_to_end(shape)
             return self._compiled[shape]
@@ -536,7 +537,8 @@ class TPUDetector:
         key = (H0b, W0b, tuple(buckets), bool(cfg.TEST.FLIP),
                vote_method, mask_mode, bool(cfg.TPU.S2D_STEM),
                bool(cfg.TPU.PALLAS_STEM), self.qstate is not None,
-               bool(cfg.TPU.LEVEL_SERIAL), int(cfg.TPU.FLIP_SPLIT_PX))
+               bool(cfg.TPU.LEVEL_SERIAL), int(cfg.TPU.FLIP_SPLIT_PX),
+               int(cfg.TPU.DECODE_FAST_K))
         return {
             "padded": padded,
             "key": key,

@@ -135,17 +135,20 @@ def _conv_w(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
 
 
-def load_into_params(path, params, strict=False):
+def load_into_params(path, params, strict=False, file_layers=None):
     """Name-addressed weight copy into an existing param tree, mirroring
     Net::CopyTrainedLayersFrom's silent layer-name matching
     (/root/reference/caffe/src/caffe/net.cpp:733-808).
 
     Returns a new pytree (numpy leaves); unmatched model params keep their
     existing values, unmatched file layers are ignored (logged).
+    `file_layers`: pass a read_caffemodel(path) result to skip re-parsing
+    (tools/ap_parity reports coverage from the same parse).
     """
     import jax.numpy as jnp
 
-    file_layers = read_caffemodel(path)
+    if file_layers is None:
+        file_layers = read_caffemodel(path)
     out = {k: dict(v) for k, v in params.items()}
     used = set()
 

@@ -96,3 +96,22 @@ def load_params(path, reference_params=None):
                 assert tuple(out[name][k].shape) == tuple(leaf[k].shape), \
                     f"shape mismatch for {name}/{k}"
     return out
+
+
+def find_trained_weights(repo_root=None):
+    """Trained-checkpoint candidates on this machine, newest first:
+    $SHF_TRAINED_WEIGHTS (if set) leads, then every output/**/final.npz
+    under the repo by mtime. One shared definition of "find the trained
+    weights" for tools (pyramid_time) and the trained-golden test — the
+    weights are machine-bound (too large for git), so discovery rather
+    than a pinned path."""
+    import glob
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = os.environ.get("SHF_TRAINED_WEIGHTS")
+    cands = [env] if env else []
+    cands += sorted(
+        glob.glob(os.path.join(root, "output", "**", "final.npz"),
+                  recursive=True),
+        key=os.path.getmtime, reverse=True)
+    return [c for c in cands if c and os.path.exists(c)]

@@ -313,9 +313,19 @@ def _shard_ctx(mesh, axis):
     from jax.sharding import get_abstract_mesh, AxisType
     ctx = get_abstract_mesh()
     if (ctx is not None and getattr(ctx, "shape", None)
-            and axis in ctx.shape
-            and AxisType.Manual in getattr(ctx, "axis_types", ())):
-        return ctx, True
+            and axis in ctx.shape):
+        types = dict(zip(ctx.axis_names, getattr(ctx, "axis_types", ())))
+        if types.get(axis) == AxisType.Manual:
+            # the stem builds its OWN shard_map over `axis`; a caller
+            # already manual over it would double-partition — fail with
+            # a nameable error instead of a deep partitioner crash
+            raise NotImplementedError(
+                f"fused_stem_spatial traced inside a region already "
+                f"manual over {axis!r}; call it from an Auto-{axis} "
+                "context (the grouped train step is manual over 'data' "
+                "only)")
+        if AxisType.Manual in types.values():
+            return ctx, True
     return mesh, False
 
 

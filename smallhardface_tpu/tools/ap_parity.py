@@ -76,7 +76,8 @@ def weights_report(path):
     if path.endswith(".caffemodel"):
         from smallhardface_tpu.io import caffemodel
         file_layers = caffemodel.read_caffemodel(path)
-        caffemodel.load_into_params(path, params, strict=True)
+        caffemodel.load_into_params(path, params, strict=True,
+                                    file_layers=file_layers)
         shared = {"head_1", "head_2", "head_4"}
         matched = sorted(
             ("head" if n in shared else n)
@@ -110,8 +111,15 @@ def run_eval(model, data_dir, exp_dir, extra, cli):
     root = REPO
     if "ROOT_DIR" in extra:
         root = extra[extra.index("ROOT_DIR") + 1]
-    out = sorted(glob.glob(
-        os.path.join(root, "output", exp_dir, "wider_val", "appar_*")))[-1]
+    runs = sorted(glob.glob(
+        os.path.join(root, "output", exp_dir, "wider_val", "appar_*")))
+    if not runs:
+        raise SystemExit(
+            f"eval finished but no run directory matches "
+            f"{root}/output/{exp_dir}/wider_val/appar_* — if extra "
+            "--amend pairs override NAME or EXP_DIR the harness cannot "
+            "find its output; let ap_parity own those two keys")
+    out = runs[-1]
     log = open(os.path.join(out, "stderr.log")).read()
     m = AP_RE.findall(log)
     ap = tuple(float(v) for v in m[-1]) if m else None

@@ -70,10 +70,9 @@ def main():
 
     spec = dm.build_spec(cfg)
     params = dm.init_params(jax.random.PRNGKey(3), spec)
-    import glob
-    cands = ([args.weights] if args.weights else []) + sorted(
-        glob.glob(os.path.join(REPO, "output", "**", "final.npz"),
-                  recursive=True), key=os.path.getmtime, reverse=True)
+    from smallhardface_tpu.io.checkpoint import find_trained_weights
+    cands = (([args.weights] if args.weights else [])
+             + find_trained_weights(REPO))
     weights = None
     for cand in cands:
         if os.path.exists(cand):

@@ -341,34 +341,30 @@ def _sha256(path):
         return hashlib.sha256(f.read()).hexdigest()
 
 
-def _trained_weight_candidates():
-    """Any synthetic-WIDER-trained final.npz on this machine, newest
-    first; SHF_TRAINED_WEIGHTS overrides (the weights are too large to
-    check in, so the fixture pins their sha256 instead — r4 weak #6:
-    don't tie the flagship test to one directory name)."""
-    import glob
-    env = os.environ.get("SHF_TRAINED_WEIGHTS")
-    cands = [env] if env else []
-    cands += sorted(
-        glob.glob(os.path.join(REPO, "output", "**", "final.npz"),
-                  recursive=True),
-        key=lambda p: os.path.getmtime(p), reverse=True)
-    return [c for c in cands if c and os.path.exists(c)]
+_TRAINED_CACHE = []
 
 
-def _find_trained_weights():
-    """The weights the fixture was generated from (sha match), else the
-    newest candidate (regeneration target), else None."""
-    cands = _trained_weight_candidates()
+def _trained_weights():
+    """The weights the fixture was generated from (sha match among
+    SHF_TRAINED_WEIGHTS + output/**/final.npz, newest first —
+    io/checkpoint.find_trained_weights), else the newest candidate
+    (regeneration target), else None. Lazy + memoized: hashing 100+ MB
+    checkpoints belongs in the two tests that need it, not in pytest
+    collection (r4 weak #6: don't tie the flagship test to one
+    directory name; r5 review: don't pay for it at import)."""
+    if _TRAINED_CACHE:
+        return _TRAINED_CACHE[0]
+    from smallhardface_tpu.io.checkpoint import find_trained_weights
+    cands = find_trained_weights(REPO)
+    found = cands[0] if cands else None
     if os.path.exists(GOLDEN_TRAINED):
         want = str(np.load(GOLDEN_TRAINED)["weights_sha256"])
         for c in cands:
             if _sha256(c) == want:
-                return c
-    return cands[0] if cands else None
-
-
-TRAINED_WEIGHTS = _find_trained_weights()
+                found = c
+                break
+    _TRAINED_CACHE.append(found)
+    return found
 
 
 @pytest.fixture
@@ -403,16 +399,18 @@ def _trained_inputs():
     spec = dm.ModelSpec(different_dilation=True)
     from smallhardface_tpu.io import checkpoint
     params = checkpoint.load_params(
-        TRAINED_WEIGHTS, dm.init_params(jax.random.PRNGKey(0), spec))
+        _trained_weights(), dm.init_params(jax.random.PRNGKey(0), spec))
     return img, spec, params
 
 
 def _weights_sha():
-    return _sha256(TRAINED_WEIGHTS)
+    return _sha256(_trained_weights())
 
 
+# NB the `or` short-circuits: weights are only globbed+hashed when
+# RUN_TORCH_ORACLE=1 — routine collection pays nothing here
 @pytest.mark.skipif(os.environ.get("RUN_TORCH_ORACLE") != "1"
-                    or TRAINED_WEIGHTS is None,
+                    or _trained_weights() is None,
                     reason="float64 torch oracle at the 1400-px level "
                            "takes tens of minutes on 1 core and needs "
                            "trained weights (output/**/final.npz); "
@@ -445,7 +443,7 @@ def test_trained_full_protocol_matches_golden(trained_cfg):
         "(2) regenerate the oracle fixture: RUN_TORCH_ORACLE=1 python -m "
         "pytest tests/test_full_detect_golden.py -k regenerate_golden_"
         "trained -q (tens of minutes, torch float64 on 1 core)")
-    if TRAINED_WEIGHTS is None:
+    if _trained_weights() is None:
         pytest.skip("no trained weights on this machine "
                     f"(output/**/final.npz) — {recipe}")
     if not os.path.exists(GOLDEN_TRAINED):
