@@ -158,6 +158,31 @@ def test_flip_split_matches_batched(rng, many_cfg):
                                    err_msg=str(k))
 
 
+def test_program_keys_carry_perf_knobs(rng, many_cfg):
+    """The fused-program cache key must include every cfg knob the built
+    program bakes in — changing TPU.DECODE_FAST_K / FLIP_SPLIT_PX /
+    LEVEL_SERIAL mid-process must produce a different key (r5 review:
+    DECODE_FAST_K was missing, so retuning it silently reused the stale
+    program)."""
+    spec = dm.ModelSpec(different_dilation=True)
+    params = dm.init_params(jax.random.PRNGKey(2), spec)
+    det = TPUDetector(params, spec)
+    im = rng.randint(0, 255, (50, 60, 3)).astype(np.uint8)
+    saved = {k: cfg.TPU[k] for k in
+             ("DECODE_FAST_K", "FLIP_SPLIT_PX", "LEVEL_SERIAL")}
+    try:
+        keys = set()
+        for amend in ({}, {"DECODE_FAST_K": 7},
+                      {"FLIP_SPLIT_PX": 123},
+                      {"LEVEL_SERIAL": not cfg.TPU.LEVEL_SERIAL}):
+            cfg.TPU.update(saved)
+            cfg.TPU.update(amend)
+            keys.add(det._prep(im)["key"])
+        assert len(keys) == 4, keys
+    finally:
+        cfg.TPU.update(saved)
+
+
 def test_build_run_truncation_hook(rng, many_cfg):
     """tools/pyramid_time.py's instrument: truncated variants of the fused
     program compile and execute; the default (_truncate=None) is the
